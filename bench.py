@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused Top-K SpMV throughput on one TPU chip.
+
+Workload (BASELINE.json config 2): synthetic 1M x 1024 gamma-sparsity
+embedding matrix (~20M nnz, L2-normalized rows), bf16 values, K=100 with
+lane_k=8, single chip — the TPU counterpart of the reference's
+2x10^8-nnz single-card run (plot_roofline.py:201-209; best published
+number: 76.9 GNNZ/s at 20-bit on 32 cores @ 225 MHz).
+
+Timing protocol: the per-query kernel is iterated over a stream of
+distinct queries inside one jitted lax.scan; throughput is taken from the
+slope between a short and a long stream so dispatch/tunnel overhead
+cancels (wall-clock of a single dispatch is meaningless through the axon
+tunnel). Each measurement is forced with np.asarray.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from spmv_topk_tpu.api import TopKSpMV
+from spmv_topk_tpu.config import LANES, TopKSpMVConfig
+from spmv_topk_tpu.formats import create_sparse_matrix, create_query_batch
+from spmv_topk_tpu.ops.kernel import topk_spmv_sell_device, finalize_topk
+from spmv_topk_tpu.ops.gold import topk_exact
+
+BASELINE_GNNZ = 76.9  # FPGA 32 cores, 20-bit fixed (BASELINE.md)
+
+NUM_ROWS = 1_000_000
+NUM_COLS = 1024
+AVG_DEG = 20
+K = 100
+
+
+def main():
+    t0 = time.time()
+    coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
+    cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS)
+    eng = TopKSpMV(coo, cfg)
+    pack_s = time.time() - t0
+
+    def stream_fn(n_queries: int):
+        tables = jnp.asarray(
+            create_query_batch(n_queries, NUM_COLS, seed=2)
+            .reshape(n_queries, -1, LANES)
+        )
+
+        @jax.jit
+        def run(words, meta, tabs):
+            def step(carry, tab):
+                topv, topt = topk_spmv_sell_device(
+                    words, meta, tab, cfg=cfg, interpret=eng._interpret
+                )
+                return carry, (topv.max(), topt.max())
+            _, outs = jax.lax.scan(step, 0, tabs)
+            return outs
+
+        return lambda: np.asarray(
+            run(eng._words, eng._meta3d, tables)[0]
+        )
+
+    short, long_ = stream_fn(3), stream_fn(13)
+    short(); long_()  # compile + warm
+    ts = min(_timed(short) for _ in range(3))
+    tl = min(_timed(long_) for _ in range(3))
+    per_query = (tl - ts) / 10.0
+
+    gnnz = coo.nnz / per_query / 1e9
+    hbm_gbps = eng.hbm_bytes / per_query / 1e9
+
+    # correctness spot check (differential oracle, reference protocol)
+    q = create_query_batch(1, NUM_COLS, seed=3)[0]
+    ki, _ = map(np.asarray, eng.query(q))
+    gi, _ = topk_exact(coo, q, K)
+    precision = len(set(gi.tolist()) & set(ki.tolist())) / K
+
+    print(json.dumps({
+        "metric": "topk_spmv_nnz_throughput",
+        "value": round(gnnz, 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(gnnz / BASELINE_GNNZ, 3),
+        "per_query_ms": round(per_query * 1e3, 3),
+        "hbm_gbps": round(hbm_gbps, 1),
+        "precision_at_100": precision,
+        "nnz": coo.nnz,
+        "padding_ratio": round(eng.sell.padding_ratio, 3),
+        "pack_seconds": round(pack_s, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+def _timed(fn):
+    t = time.perf_counter()
+    fn()
+    return time.perf_counter() - t
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Runtime configuration for TPU Top-K SpMV.
+
+The reference design fixes everything at FPGA-synthesis time
+(``/root/reference/src/common/types.hpp:20-79``: FIXED_WIDTH, K,
+SPMV_PARTITIONS, BSCSR packet geometry, LIMITED_FINISHED_ROWS, ...).
+On TPU there is no rebuild wall: all knobs live in one dataclass consumed
+at ``jit``-trace time, so a config change costs a recompile (~seconds),
+not an overnight place-and-route.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# TPU vector geometry: the VPU operates on (sublane, lane) = (8, 128) tiles
+# of 32-bit data. These replace the reference's 512-bit HBM/AXI word
+# (BSCSR_PORT_BITWIDTH, types.hpp:71).
+LANES = 128
+SUBLANES = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class ValueFormat:
+    """Reduced-precision storage format of matrix values.
+
+    Mirrors the reference's fixed-point knobs (types.hpp:20-29:
+    FIXED_WIDTH/SCALE ap_ufixed and the USE_FLOAT switch). On TPU the
+    natural reduced format is bfloat16 (8-bit mantissa, free conversion to
+    f32 on the VPU); scaled fixed-point emulation is provided for numerical
+    parity testing with the FPGA's ap_ufixed<W,1,AP_TRN_ZERO> arithmetic.
+    """
+
+    kind: str = "bf16"          # "f32" | "bf16" | "fixed"
+    fixed_width: int = 32       # total bits of the emulated ap_ufixed
+    fixed_integer_part: int = 1  # integer bits (reference uses 1)
+
+    @property
+    def scale(self) -> int:
+        return self.fixed_width - self.fixed_integer_part
+
+    @property
+    def bytes_per_value(self) -> int:
+        if self.kind == "f32":
+            return 4
+        if self.kind == "bf16":
+            return 2
+        return (self.fixed_width + 7) // 8
+
+
+F32 = ValueFormat("f32")
+BF16 = ValueFormat("bf16")
+FIXED32 = ValueFormat("fixed", fixed_width=32)
+
+
+@dataclasses.dataclass(frozen=True)
+class TopKSpMVConfig:
+    """All design knobs of the TPU Top-K SpMV engine.
+
+    Reference counterparts (file:line into /root/reference):
+      - k: global Top-K requested by the user (options.hpp:28, default 20;
+        benchmarks use 100).
+      - lane_k: per-lane running Top-K kept inside the kernel. Plays the
+        role of the per-partition K=8 (types.hpp:51) in the FPGA's
+        argmin-replacement scheme, except a TPU kernel keeps 128 lane-local
+        buffers per partition, so recall at global K=100 is far higher for
+        the same lane_k (see eval/accuracy_model.py).
+      - num_partitions: row partitions per device, the analog of
+        SPMV_PARTITIONS=32 / SUB_SPMV_PARTITIONS=4 (types.hpp:36-38). On
+        TPU these map to the kernel's parallel grid axis.
+      - value_format: reduced-precision storage (types.hpp:20-29).
+      - slice_height: rows per SELL slice = hardware lanes (128).
+      - chunk_sublanes: nnz rows per sub-chunk step; slice widths are
+        padded to a multiple of this (the analog of BSCSR_PACKET_SIZE
+        padding, types.hpp:71-73).
+      - block_sublanes: sublanes of packed words processed per Pallas grid
+        step (DMA granularity; the analog of the per-pseudo-channel burst).
+      - sigma_sort: whether rows are degree-sorted before slicing
+        (SELL-C-sigma); keeps slice padding negligible on skewed (gamma)
+        degree distributions.
+    """
+
+    k: int = 100
+    lane_k: int = 8
+    num_partitions: int = 1
+    value_format: ValueFormat = BF16
+    max_cols: int = 1024            # MAX_COLS, types.hpp:55
+    slice_height: int = LANES
+    chunk_sublanes: int = 8
+    block_sublanes: int = 512
+    sigma_sort: bool = True
+    interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
+
+    def __post_init__(self):
+        if self.max_cols % LANES != 0:
+            raise ValueError(f"max_cols must be a multiple of {LANES}")
+        if self.block_sublanes % self.chunk_sublanes != 0:
+            raise ValueError("block_sublanes must be a multiple of chunk_sublanes")
+        if self.slice_height != LANES:
+            raise ValueError("slice_height must equal the TPU lane count (128)")
+
+    @property
+    def col_groups(self) -> int:
+        """Number of 128-wide column groups the query table is split into."""
+        return self.max_cols // LANES
+
+
+DEFAULT_CONFIG = TopKSpMVConfig()

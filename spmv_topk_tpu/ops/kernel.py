@@ -1,0 +1,207 @@
+"""Fused Top-K SpMV Pallas kernel (SELL-128 format).
+
+TPU-native re-design of the reference's HLS dataflow kernel
+(/root/reference/src/fpga/src/ip/spmv/spmv_bscsr_top_k_multicore.hpp:
+loop_1 decode+gather :168-220, loop_2 multiply+segment-reduce :104-149,
+loop_3 packet stitching :246-326, loop_4 argmin-replacement Top-K :331-409).
+The mapping:
+
+  loop_1  -> 32-bit word decode on the VPU + `dynamic_gather` of the query
+             table along lanes (the URAM vector replicas, types.hpp:79,
+             become one f32 table row per 128-column group: the TPU lane
+             gather wraps mod 128, so the low 7 column bits index the lane
+             and the high bits select the group via a masked-select chain).
+  loop_2  -> elementwise multiply + per-lane accumulation: each lane IS one
+             row (SELL), so the segmented reduction is a plain sublane sum.
+  loop_3  -> eliminated by construction: slices are row-aligned, a sub-chunk
+             metadata word carries (slice_index, is_last) and rows never
+             straddle compute boundaries (no LIMITED_FINISHED_ROWS
+             approximation).
+  loop_4  -> per-lane running Top-K in VMEM scratch with the reference's
+             argmin-replacement update (>= replaces the worst slot), over
+             (lane_k, 128) registers; candidates are (value, slice) pairs
+             resolved to row ids outside the kernel.
+
+Grid = (partitions, blocks): the partition axis is declared "parallel" (the
+analog of the 8 CUs x 4 sub-partitions, types.hpp:36-38); the block axis
+streams (block_sublanes, 128) word slabs from HBM with Pallas' automatic
+double-buffering (the II=1 HBM burst pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import LANES, TopKSpMVConfig
+
+NEG_INF = float("-inf")
+
+
+def _decode_val(w):
+    """Low 16 bits are the bfloat16 value bit pattern -> exact f32."""
+    return pltpu.bitcast(jax.lax.shift_left(w, 16), jnp.float32)
+
+
+def _gather_query(tab_ref, w, num_groups, sublanes):
+    """vec[col] for each packed word: masked multi-pass lane gather.
+
+    The lane gather reaches 128 entries per table row; the low 7 column
+    bits index the lane (masked explicitly — TPU hardware would wrap mod
+    128 anyway, but interpret mode NaN-fills out-of-bounds indices) and the
+    high column bits select which of the `num_groups` table rows wins.
+    """
+    lo = jax.lax.shift_right_logical(w, 16) & 0x7F
+    shape = (sublanes, LANES)
+    if num_groups == 1:
+        bc = jnp.broadcast_to(tab_ref[0:1, :], shape)
+        return jnp.take_along_axis(bc, lo, axis=1)
+    hi = jax.lax.shift_right_logical(w, 23)
+    sel = None
+    for c in range(num_groups):
+        bc = jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
+        g = jnp.take_along_axis(bc, lo, axis=1)
+        sel = g if sel is None else jnp.where(hi == c, g, sel)
+    return sel
+
+
+def _topk_update(tv, tt, score, slice_idx, lane_k):
+    """Argmin-replacement update of the per-lane Top-K buffers.
+
+    Mirrors update_top_k (gold_algorithms.hpp:249-272) vectorized over 128
+    lanes: replace each lane's current-worst slot when score >= worst.
+    """
+    cur = tv[:]
+    cur_min = jnp.min(cur, axis=0, keepdims=True)                  # (1, 128)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (lane_k, LANES), 0)
+    slot = jnp.min(
+        jnp.where(cur == cur_min, iota, lane_k), axis=0, keepdims=True
+    )                                                               # first argmin
+    replace = (iota == slot) & (score >= cur_min)                  # (lane_k, 128)
+    tv[:] = jnp.where(replace, score, cur)
+    tt[:] = jnp.where(replace, slice_idx, tt[:])
+
+
+def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
+            acc, tv, tt, *, cfg: TopKSpMVConfig, num_groups: int):
+    i = pl.program_id(1)
+    S = cfg.chunk_sublanes
+    K = cfg.lane_k
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        tv[:] = jnp.full_like(tv, NEG_INF)
+        tt[:] = jnp.zeros_like(tt)
+
+    for s in range(cfg.block_sublanes // S):
+        w = words_ref[s * S:(s + 1) * S, :]
+        val = _decode_val(w)
+        vec = _gather_query(tab_ref, w, num_groups, S)
+        acc[:] += val * vec
+
+        m = meta_ref[0, 0, s]
+
+        @pl.when((m & 1) == 1)
+        def _():
+            score = jnp.sum(acc[:], axis=0, keepdims=True)          # (1, 128)
+            acc[:] = jnp.zeros_like(acc)
+            _topk_update(tv, tt, score, m >> 1, K)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        topv_ref[0] = tv[:]
+        topt_ref[0] = tt[:]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def topk_spmv_sell_device(
+    words, meta3d, table, *, cfg: TopKSpMVConfig, interpret: bool = False
+):
+    """Run the fused kernel.
+
+    Args:
+      words: (P * part_blocks * block_sublanes, 128) int32 packed nnz.
+      meta3d: (P * part_blocks, 1, block_sublanes // chunk_sublanes) int32.
+      table: (num_groups, 128) f32 query vector, group-major.
+
+    Returns:
+      topv (P, lane_k, 128) f32, topt (P, lane_k, 128) int32 — per-lane
+      Top-K candidates as (value, slice-index) pairs.
+    """
+    P = cfg.num_partitions
+    total_blocks = meta3d.shape[0]
+    part_blocks = total_blocks // P
+    num_groups = table.shape[0]
+    S = cfg.chunk_sublanes
+    cpb = cfg.block_sublanes // S
+    K = cfg.lane_k
+
+    grid = (P, part_blocks)
+    kernel = functools.partial(_kernel, cfg=cfg, num_groups=num_groups)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((num_groups, LANES), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cfg.block_sublanes, LANES),
+                lambda p, i, pb=part_blocks: (p * pb + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, cpb),
+                lambda p, i, pb=part_blocks: (p * pb + i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((P, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, LANES), jnp.float32),
+            pltpu.VMEM((K, LANES), jnp.float32),
+            pltpu.VMEM((K, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(table, words, meta3d)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def finalize_topk(topv, topt, row_ids, k: int):
+    """Host-free global Top-K merge.
+
+    Replaces the reference's host-side read_result (offset + hash-dedupe +
+    sort, host_spmv_bscsr.cpp:399-448): candidates are already unique
+    (one per (slice, lane)), so the merge is a single jax.lax.top_k over
+    all per-lane candidates, with padding lanes masked out.
+    """
+    L = row_ids.shape[1]
+    flat_v = topv.reshape(-1)
+    flat_t = topt.reshape(-1)
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, topv.shape, len(topv.shape) - 1
+    ).reshape(-1)
+    rows = row_ids.reshape(-1)[flat_t * L + lane]
+    valid = (rows >= 0) & (flat_v != NEG_INF)
+    masked = jnp.where(valid, flat_v, NEG_INF)
+    # The candidate pool holds lane_k * 128 * partitions entries; a larger
+    # k cannot be served (raise lane_k / partitions to widen the pool).
+    vals, pos = jax.lax.top_k(masked, min(k, masked.shape[0]))
+    return rows[pos], vals

@@ -1,0 +1,100 @@
+"""Format tests: COO, MTX I/O, synthetic generator, BS-CSR and SELL packers.
+
+Replaces the reference's implicit format testing (gold-vs-hardware
+differential checks in each host main, host_spmv_bscsr.cpp:638-663) with
+explicit round-trip units.
+"""
+
+import numpy as np
+import pytest
+
+from spmv_topk_tpu.config import TopKSpMVConfig
+from spmv_topk_tpu.formats import (
+    CooMatrix, create_sparse_matrix, create_sample_vector,
+    read_mtx, write_mtx, pack_bscsr, unpack_bscsr_partition,
+    pack_sell, unpack_sell,
+)
+
+
+def test_coo_sort_and_csr(rng):
+    rows = rng.integers(0, 50, 200).astype(np.int32)
+    cols = rng.integers(0, 64, 200).astype(np.int32)
+    vals = rng.random(200).astype(np.float32)
+    coo = CooMatrix(rows, cols, vals, 50, 64).sort_row_major()
+    assert coo.is_sorted_row_major()
+    ptr, c, v = coo.to_csr()
+    assert ptr[-1] == 200
+    dense = coo.to_dense()
+    sp = coo.to_scipy().toarray()
+    np.testing.assert_allclose(dense, sp, rtol=1e-6)
+
+
+def test_synthetic_matrix_stats():
+    for dist in ("uniform", "gamma"):
+        coo = create_sparse_matrix(2000, 512, 20, dist, seed=0)
+        deg = coo.row_degrees()
+        assert coo.num_rows == 2000 and coo.num_cols == 512
+        assert 15 <= deg.mean() <= 25
+        # rows are L2-normalized (create_matrices.py:48-49)
+        norms = np.sqrt(np.bincount(coo.rows, coo.vals.astype(np.float64) ** 2))
+        np.testing.assert_allclose(norms[deg > 0], 1.0, atol=1e-4)
+        assert coo.is_sorted_row_major()
+
+
+def test_sample_vector_l2():
+    v = create_sample_vector(512, seed=3)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_mtx_roundtrip(tmp_path):
+    coo = create_sparse_matrix(100, 64, 5, "uniform", seed=1)
+    path = str(tmp_path / "m.mtx")
+    write_mtx(path, coo)
+    back = read_mtx(path)
+    assert back.num_rows == coo.num_rows and back.num_cols == coo.num_cols
+    assert back.nnz == coo.nnz
+    np.testing.assert_array_equal(back.rows, coo.rows)
+    np.testing.assert_array_equal(back.cols, coo.cols)
+    np.testing.assert_allclose(back.vals, coo.vals, rtol=1e-6)
+
+
+def test_bscsr_roundtrip():
+    # consecutive rows, like the reference's self-loop-padded inputs
+    coo = create_sparse_matrix(200, 128, 8, "uniform", seed=2)
+    parts = pack_bscsr(coo, num_partitions=4, packet_size=11)
+    rows_all, cols_all, vals_all = [], [], []
+    for p in parts:
+        r, c, v = unpack_bscsr_partition(p)
+        rows_all.append(r); cols_all.append(c); vals_all.append(v)
+    rows = np.concatenate(rows_all)
+    np.testing.assert_array_equal(rows, coo.rows)
+    np.testing.assert_array_equal(np.concatenate(cols_all), coo.cols)
+    np.testing.assert_allclose(np.concatenate(vals_all), coo.vals, rtol=1e-6)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "gamma"])
+@pytest.mark.parametrize("partitions", [1, 3])
+def test_sell_roundtrip(dist, partitions):
+    coo = create_sparse_matrix(1000, 512, 20, dist, seed=4)
+    cfg = TopKSpMVConfig(num_partitions=partitions, max_cols=512,
+                         block_sublanes=64)
+    m = pack_sell(coo, cfg)
+    back = unpack_sell(m)
+    orig = coo.sort_row_major()
+    assert back.nnz == orig.nnz
+    np.testing.assert_array_equal(back.rows, orig.rows)
+    np.testing.assert_array_equal(back.cols, orig.cols)
+    # values survive bfloat16 quantization
+    np.testing.assert_allclose(back.vals, orig.vals, rtol=8e-3)
+
+
+def test_sell_padding_small_on_big_uniform():
+    coo = create_sparse_matrix(20000, 512, 20, "uniform", seed=5)
+    m = pack_sell(coo, TopKSpMVConfig(max_cols=512))
+    assert m.padding_ratio < 1.35
+
+
+def test_sell_rejects_too_many_partitions():
+    coo = create_sparse_matrix(200, 256, 10, "uniform", seed=6)
+    with pytest.raises(ValueError):
+        pack_sell(coo, TopKSpMVConfig(num_partitions=16, max_cols=256))
