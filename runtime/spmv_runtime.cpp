@@ -1,0 +1,171 @@
+// Native host runtime for tpu-topk-spmv: fast MTX parsing and SELL packing.
+//
+// TPU-native counterpart of the reference's host-side preprocessing, the
+// hot O(nnz) loops that dominate setup time:
+//   - MTX parsing: /root/reference/src/common/utils/mmio.hpp +
+//     readMtx (/root/reference/src/common/utils/utils.hpp:475-520)
+//   - BS-CSR packing: packet_coo_partition
+//     (/root/reference/src/fpga/src/host_spmv_bscsr.cpp:189-248)
+//
+// Exposed as a C ABI consumed from Python via ctypes
+// (spmv_topk_tpu/utils/native.py); the NumPy implementations remain the
+// portable fallback and the differential oracle for these routines.
+//
+// Build: make -C runtime   (g++ -O3 -march=native -shared -fPIC)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kLanes = 128;
+
+// Round-to-nearest-even bfloat16 bit pattern of a float.
+inline uint16_t bf16_bits(float v) {
+  uint32_t bits;
+  std::memcpy(&bits, &v, 4);
+  if ((bits & 0x7FFFFFFFu) > 0x7F800000u) return uint16_t(bits >> 16);  // NaN
+  uint32_t rounded = bits + 0x7FFFu + ((bits >> 16) & 1u);
+  return uint16_t(rounded >> 16);
+}
+
+inline int64_t cdiv(int64_t a, int64_t b) { return (a + b - 1) / b; }
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// MTX parsing
+// ---------------------------------------------------------------------------
+
+// Parse a coordinate-real/integer/pattern general MTX file.
+// Two-phase API: call with rows=nullptr to get sizes, then with buffers.
+// Returns 0 on success, negative on error.
+int mtx_parse(const char* path, int64_t* out_num_rows, int64_t* out_num_cols,
+              int64_t* out_nnz, int32_t* rows, int32_t* cols, float* vals) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size + 1);
+  if (std::fread(buf.data(), 1, size, f) != size_t(size)) {
+    std::fclose(f);
+    return -2;
+  }
+  std::fclose(f);
+  buf[size] = '\0';
+
+  char* p = buf.data();
+  char* end = buf.data() + size;
+
+  bool pattern = false;
+  {  // banner
+    char* eol = static_cast<char*>(std::memchr(p, '\n', end - p));
+    if (!eol) return -3;
+    *eol = '\0';
+    if (std::strstr(p, "MatrixMarket") == nullptr) return -3;
+    if (std::strstr(p, "pattern")) pattern = true;
+    if (std::strstr(p, "symmetric")) return -4;  // handled in Python fallback
+    p = eol + 1;
+  }
+  while (p < end && *p == '%') {  // comments
+    char* eol = static_cast<char*>(std::memchr(p, '\n', end - p));
+    if (!eol) return -3;
+    p = eol + 1;
+  }
+  int64_t nr = std::strtoll(p, &p, 10);
+  int64_t nc = std::strtoll(p, &p, 10);
+  int64_t nnz = std::strtoll(p, &p, 10);
+  *out_num_rows = nr;
+  *out_num_cols = nc;
+  *out_nnz = nnz;
+  if (rows == nullptr) return 0;  // size query
+
+  for (int64_t i = 0; i < nnz; i++) {
+    long r = std::strtol(p, &p, 10);
+    long c = std::strtol(p, &p, 10);
+    rows[i] = int32_t(r - 1);
+    cols[i] = int32_t(c - 1);
+    vals[i] = pattern ? 1.0f : std::strtof(p, &p);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Row-major COO sort (by (row, col)), returning the permutation.
+// ---------------------------------------------------------------------------
+
+void coo_sort_perm(const int32_t* rows, const int32_t* cols, int64_t nnz,
+                   int64_t num_cols, int64_t* perm) {
+  for (int64_t i = 0; i < nnz; i++) perm[i] = i;
+  std::sort(perm, perm + nnz, [&](int64_t a, int64_t b) {
+    if (rows[a] != rows[b]) return rows[a] < rows[b];
+    return cols[a] < cols[b];
+  });
+  (void)num_cols;
+}
+
+// ---------------------------------------------------------------------------
+// SELL-128 packing (see spmv_topk_tpu/formats/sell.py for the format spec).
+// ---------------------------------------------------------------------------
+
+// Phase 1: sigma-sort rows by degree (stable desc), compute slice widths.
+// degrees: (num_rows), perm/rank out: (num_rows), slice_w out: (num_slices).
+void sell_plan(const int32_t* degrees, int64_t num_rows, int64_t chunk_sublanes,
+               int32_t sigma_sort, int64_t* perm, int64_t* rank,
+               int64_t* slice_w /* num_slices */) {
+  for (int64_t i = 0; i < num_rows; i++) perm[i] = i;
+  if (sigma_sort) {
+    std::stable_sort(perm, perm + num_rows, [&](int64_t a, int64_t b) {
+      return degrees[a] > degrees[b];
+    });
+  }
+  for (int64_t i = 0; i < num_rows; i++) rank[perm[i]] = i;
+  int64_t num_slices = cdiv(num_rows, kLanes);
+  for (int64_t t = 0; t < num_slices; t++) {
+    int32_t mx = 0;
+    int64_t lo = t * kLanes, hi = std::min(num_rows, lo + kLanes);
+    for (int64_t i = lo; i < hi; i++) mx = std::max(mx, degrees[perm[i]]);
+    int64_t w = cdiv(std::max<int64_t>(mx, 1), chunk_sublanes) * chunk_sublanes;
+    slice_w[t] = w;
+  }
+}
+
+// Phase 2: scatter nnz into packed words (parallel over nnz ranges).
+// rows/cols/vals must be row-major sorted. words: (total_sub * 128) int32
+// zero-initialized by the caller. row_start: CSR offsets (num_rows+1).
+// slice_off: per-slice sublane offsets (num_slices+1).
+void sell_scatter(const int32_t* rows, const int32_t* cols, const float* vals,
+                  int64_t nnz, const int64_t* row_start, const int64_t* rank,
+                  const int64_t* slice_off, int32_t* words, int32_t n_threads) {
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(64, int(n_threads)));
+  std::vector<std::thread> ts;
+  int64_t chunk = cdiv(nnz, n_threads);
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * chunk, hi = std::min(nnz, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; i++) {
+        int32_t r = rows[i];
+        int64_t rk = rank[r];
+        int64_t lane = rk % kLanes;
+        int64_t within = i - row_start[r];
+        int64_t sub = slice_off[rk / kLanes] + within;
+        uint32_t w = (uint32_t(cols[i]) << 16) | bf16_bits(vals[i]);
+        words[sub * kLanes + lane] = int32_t(w);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

@@ -31,7 +31,18 @@ def read_mtx(path: str, read_values: bool = True) -> CooMatrix:
 
     Mirrors readMtx (utils.hpp:475-520): supports `pattern` (no values,
     val=1), `symmetric` (mirror off-diagonal entries), general real/integer.
+
+    Uses the native C++ parser (runtime/spmv_runtime.cpp) when available;
+    it declines symmetric/gzipped files, which take this Python path.
     """
+    if read_values and not str(path).endswith(".gz"):
+        from ..utils import native
+
+        parsed = native.mtx_parse(str(path))
+        if parsed is not None:
+            rows, cols, vals, num_rows, num_cols = parsed
+            return CooMatrix(rows, cols, vals, num_rows, num_cols).sort_row_major()
+
     with _open(path, "rb") as f:
         header = f.readline().decode()
         if not header.startswith("%%MatrixMarket"):

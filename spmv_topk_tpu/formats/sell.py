@@ -95,48 +95,60 @@ def pack_sell(coo: CooMatrix, config: TopKSpMVConfig = DEFAULT_CONFIG) -> SellMa
     blk_sub = config.block_sublanes
     P = config.num_partitions
 
-    degrees = coo.row_degrees()
-    # sigma-sort: stable degree-descending permutation of rows.
-    perm = (
-        np.argsort(-degrees, kind="stable")
-        if config.sigma_sort
-        else np.arange(coo.num_rows)
-    )
+    from ..utils import native
 
+    degrees = coo.row_degrees()
     num_slices = -(-coo.num_rows // LANES)
     pad_rows = num_slices * LANES - coo.num_rows
+    vals_q = quantize_values(coo.vals, config.value_format)
+
+    row_start = np.zeros(coo.num_rows + 1, dtype=np.int64)
+    np.cumsum(degrees, out=row_start[1:])
+
+    plan = native.sell_plan(degrees, S, config.sigma_sort)
+    if plan is not None:
+        perm, rank_of_row, slice_w = plan
+    else:
+        # sigma-sort: stable degree-descending permutation of rows.
+        perm = (
+            np.argsort(-degrees, kind="stable")
+            if config.sigma_sort
+            else np.arange(coo.num_rows)
+        )
+        rank_of_row = np.empty(coo.num_rows, dtype=np.int64)
+        rank_of_row[perm] = np.arange(coo.num_rows)
+        # Slice widths: max degree within each slice, rounded up to S.
+        deg_padded = np.concatenate([degrees[perm], np.zeros(pad_rows, np.int32)])
+        slice_w = deg_padded.reshape(num_slices, LANES).max(axis=1)
+        slice_w = np.maximum(-(-slice_w // S) * S, S)
+
     perm_padded = np.concatenate([perm, np.full(pad_rows, -1, np.int64)])
     row_ids = perm_padded.reshape(num_slices, LANES).astype(np.int32)
-
-    # Slice widths: max degree within each slice, rounded up to S.
-    deg_padded = np.concatenate([degrees[perm], np.zeros(pad_rows, np.int32)])
-    slice_w = deg_padded.reshape(num_slices, LANES).max(axis=1)
-    slice_w = np.maximum(-(-slice_w // S) * S, S)
-
-    # Destination coordinates for every nnz:
-    #   lane   = rank of its row inside its slice
-    #   sublane = slice_offset + index of the nnz within its row
-    rank_of_row = np.empty(coo.num_rows, dtype=np.int64)
-    rank_of_row[perm] = np.arange(coo.num_rows)
-    slice_of_row = rank_of_row // LANES
-    lane_of_row = rank_of_row % LANES
 
     slice_sub_offsets = np.zeros(num_slices + 1, dtype=np.int64)
     np.cumsum(slice_w, out=slice_sub_offsets[1:])
     total_sub = int(slice_sub_offsets[-1])
 
-    row_start = np.zeros(coo.num_rows + 1, dtype=np.int64)
-    np.cumsum(degrees, out=row_start[1:])
-    within_row = np.arange(coo.nnz, dtype=np.int64) - row_start[coo.rows]
-
-    dest_sub = slice_sub_offsets[slice_of_row[coo.rows]] + within_row
-    dest_lane = lane_of_row[coo.rows]
-
-    vals_q = quantize_values(coo.vals, config.value_format)
-    words = np.zeros((total_sub, LANES), dtype=np.uint32)
-    payload = (coo.cols.astype(np.uint32) << 16) | bf16_bits(vals_q).astype(np.uint32)
-    words[dest_sub, dest_lane] = payload
-    words = words.view(np.int32)
+    # Destination coordinates for every nnz:
+    #   lane   = rank of its row inside its slice
+    #   sublane = slice_offset + index of the nnz within its row
+    words = native.sell_scatter(
+        coo.rows, coo.cols, vals_q, row_start, rank_of_row,
+        slice_sub_offsets, total_sub,
+    )
+    if words is None:
+        slice_of_row = rank_of_row // LANES
+        lane_of_row = rank_of_row % LANES
+        within_row = np.arange(coo.nnz, dtype=np.int64) - row_start[coo.rows]
+        dest_sub = slice_sub_offsets[slice_of_row[coo.rows]] + within_row
+        dest_lane = lane_of_row[coo.rows]
+        words = np.zeros((total_sub, LANES), dtype=np.uint32)
+        payload = (
+            (coo.cols.astype(np.uint32) << 16)
+            | bf16_bits(vals_q).astype(np.uint32)
+        )
+        words[dest_sub, dest_lane] = payload
+        words = words.view(np.int32)
 
     # Sub-chunk metadata: slice index + last-sub-chunk-of-slice flag.
     slice_chunks = (slice_w // S).astype(np.int64)

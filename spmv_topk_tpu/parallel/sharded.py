@@ -171,12 +171,18 @@ class ShardedTopKSpMV:
         return jnp.asarray(padded.reshape(-1, LANES))
 
     def query(self, vec, k: Optional[int] = None):
-        if k is not None and k != self.config.k:
-            raise ValueError("sharded engine fixes k at build time (config.k)")
-        return self._query_fn(
+        idx, vals = self._query_fn(
             self._arrays.words, self._arrays.meta, self._arrays.row_ids,
             self._table(vec),
         )
+        if k is not None and k != self.config.k:
+            if k > self.config.k:
+                raise ValueError(
+                    f"k={k} exceeds the build-time merge width config.k="
+                    f"{self.config.k}"
+                )
+            idx, vals = idx[:k], vals[:k]
+        return idx, vals
 
     def query_batch(self, queries):
         idxs, vals = [], []

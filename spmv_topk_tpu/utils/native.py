@@ -1,0 +1,134 @@
+"""ctypes bindings to the native host runtime (runtime/libspmv_runtime.so).
+
+Accelerates the O(nnz) host preprocessing loops (the analog of the
+reference's host-side BS-CSR packer and readMtx, SURVEY.md §3.1 "hot
+preprocessing loop"). Falls back to NumPy when the library isn't built;
+build it with `make -C runtime`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_RUNTIME_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "runtime",
+)
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "libspmv_runtime.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_LIB_PATH):
+        try:  # attempt a quiet build once
+            subprocess.run(
+                ["make", "-C", _RUNTIME_DIR],
+                capture_output=True, timeout=120, check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    lib.mtx_parse.argtypes = [
+        ctypes.c_char_p, i64p, i64p, i64p, i32p, i32p, f32p]
+    lib.mtx_parse.restype = ctypes.c_int
+    lib.coo_sort_perm.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.sell_plan.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i64p, i64p, i64p]
+    lib.sell_scatter.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64, i64p, i64p, i64p, i32p,
+        ctypes.c_int32]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def mtx_parse(path: str):
+    """Fast MTX parse. Returns (rows, cols, vals, num_rows, num_cols) or
+    None if the native library is unavailable or the file needs the Python
+    path (symmetric matrices)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nr = ctypes.c_int64()
+    nc = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    rc = lib.mtx_parse(path.encode(), ctypes.byref(nr), ctypes.byref(nc),
+                       ctypes.byref(nnz), None, None, None)
+    if rc != 0:
+        return None
+    rows = np.empty(nnz.value, np.int32)
+    cols = np.empty(nnz.value, np.int32)
+    vals = np.empty(nnz.value, np.float32)
+    rc = lib.mtx_parse(path.encode(), ctypes.byref(nr), ctypes.byref(nc),
+                       ctypes.byref(nnz), _ptr(rows, ctypes.c_int32),
+                       _ptr(cols, ctypes.c_int32), _ptr(vals, ctypes.c_float))
+    if rc != 0:
+        return None
+    return rows, cols, vals, int(nr.value), int(nc.value)
+
+
+def coo_sort_perm(rows: np.ndarray, cols: np.ndarray, num_cols: int):
+    lib = _load()
+    if lib is None:
+        return None
+    perm = np.empty(len(rows), np.int64)
+    lib.coo_sort_perm(_ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+                      len(rows), num_cols, _ptr(perm, ctypes.c_int64))
+    return perm
+
+
+def sell_plan(degrees: np.ndarray, chunk_sublanes: int, sigma_sort: bool):
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(degrees)
+    num_slices = -(-n // 128)
+    perm = np.empty(n, np.int64)
+    rank = np.empty(n, np.int64)
+    slice_w = np.empty(num_slices, np.int64)
+    lib.sell_plan(_ptr(degrees, ctypes.c_int32), n, chunk_sublanes,
+                  int(sigma_sort), _ptr(perm, ctypes.c_int64),
+                  _ptr(rank, ctypes.c_int64), _ptr(slice_w, ctypes.c_int64))
+    return perm, rank, slice_w
+
+
+def sell_scatter(rows, cols, vals, row_start, rank, slice_off, total_sub,
+                 n_threads: int = 0):
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.zeros((total_sub, 128), np.int32)
+    lib.sell_scatter(
+        _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+        _ptr(vals, ctypes.c_float), len(rows),
+        _ptr(row_start, ctypes.c_int64), _ptr(rank, ctypes.c_int64),
+        _ptr(slice_off, ctypes.c_int64), _ptr(words, ctypes.c_int32),
+        n_threads)
+    return words

@@ -1,0 +1,45 @@
+"""Native C++ runtime vs NumPy differential tests (runtime/spmv_runtime.cpp)."""
+
+import numpy as np
+import pytest
+
+from spmv_topk_tpu.config import TopKSpMVConfig
+from spmv_topk_tpu.formats import create_sparse_matrix, write_mtx, pack_sell
+from spmv_topk_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native runtime not built"
+)
+
+
+def test_native_mtx_parse_matches_python(tmp_path):
+    coo = create_sparse_matrix(500, 256, 8, "gamma", seed=30)
+    path = str(tmp_path / "n.mtx")
+    write_mtx(path, coo)
+    rows, cols, vals, nr, nc = native.mtx_parse(path)
+    assert (nr, nc) == (500, 256)
+    np.testing.assert_array_equal(rows, coo.rows)
+    np.testing.assert_array_equal(cols, coo.cols)
+    np.testing.assert_allclose(vals, coo.vals, rtol=1e-6)
+
+
+def test_native_pack_equals_numpy_pack(monkeypatch):
+    coo = create_sparse_matrix(3000, 512, 15, "gamma", seed=31)
+    cfg = TopKSpMVConfig(max_cols=512, num_partitions=2, block_sublanes=64)
+    m_native = pack_sell(coo, cfg)
+    # force the NumPy path
+    monkeypatch.setattr(native, "sell_plan", lambda *a, **k: None)
+    monkeypatch.setattr(native, "sell_scatter", lambda *a, **k: None)
+    m_numpy = pack_sell(coo, cfg)
+    np.testing.assert_array_equal(m_native.words, m_numpy.words)
+    np.testing.assert_array_equal(m_native.meta, m_numpy.meta)
+    np.testing.assert_array_equal(m_native.row_ids, m_numpy.row_ids)
+
+
+def test_native_sort_perm():
+    rng = np.random.default_rng(32)
+    rows = rng.integers(0, 100, 1000).astype(np.int32)
+    cols = rng.integers(0, 64, 1000).astype(np.int32)
+    perm = native.coo_sort_perm(rows, cols, 64)
+    keys = rows.astype(np.int64) * 64 + cols
+    assert np.all(np.diff(keys[perm]) >= 0)
