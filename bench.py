@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from spmv_topk_tpu.api import TopKSpMV
 from spmv_topk_tpu.config import LANES, TopKSpMVConfig
 from spmv_topk_tpu.formats import create_sparse_matrix, create_query_batch
-from spmv_topk_tpu.ops.kernel import topk_spmv_sell_device, finalize_topk
 from spmv_topk_tpu.ops.gold import topk_exact
 
 BASELINE_GNNZ = 76.9  # FPGA 32 cores, 20-bit fixed (BASELINE.md)
@@ -44,29 +43,26 @@ K = 100
 def main():
     t0 = time.time()
     coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
-    cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS)
+    cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
+                         query_codec="int8x4")
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
 
     def stream_fn(n_queries: int):
-        tables = jnp.asarray(
-            create_query_batch(n_queries, NUM_COLS, seed=2)
-            .reshape(n_queries, -1, LANES)
-        )
+        tables = jnp.stack([
+            eng._table(q)[0]
+            for q in create_query_batch(n_queries, NUM_COLS, seed=2)
+        ])
 
         @jax.jit
-        def run(words, meta, tabs):
+        def run(tabs):
             def step(carry, tab):
-                topv, topt = topk_spmv_sell_device(
-                    words, meta, tab, cfg=cfg, interpret=eng._interpret
-                )
+                topv, topt = eng.candidates_traceable(tab)
                 return carry, (topv.max(), topt.max())
             _, outs = jax.lax.scan(step, 0, tabs)
             return outs
 
-        return lambda: np.asarray(
-            run(eng._words, eng._meta3d, tables)[0]
-        )
+        return lambda: np.asarray(run(tables)[0])
 
     short, long_ = stream_fn(3), stream_fn(13)
     short(); long_()  # compile + warm

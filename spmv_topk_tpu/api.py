@@ -60,21 +60,58 @@ class TopKSpMV:
         self.num_rows = matrix.num_rows
         self.num_cols = matrix.num_cols
         self.num_nnz = matrix.nnz
-        self.sell: SellMatrix = pack_sell(matrix, config)
         self._interpret = _auto_interpret(config)
-
         device = device or jax.devices()[0]
-        cpb = config.block_sublanes // config.chunk_sublanes
-        self._words = jax.device_put(self.sell.words, device)
-        self._meta3d = jax.device_put(
-            self.sell.meta.reshape(-1, 1, cpb), device
-        )
-        self._row_ids = jax.device_put(self.sell.row_ids, device)
         self.device = device
+
+        if config.layout == "bucketed":
+            from .formats.sell_buckets import pack_sell_buckets
+
+            self.sell = pack_sell_buckets(matrix, config)
+            self._bwords = [
+                jax.device_put(b.words, device) for b in self.sell.buckets
+            ]
+            self._row_ids = jax.device_put(self.sell.row_ids, device)
+
+        elif config.layout == "streamed":
+            self.sell = pack_sell(matrix, config)
+            cpb = config.block_sublanes // config.chunk_sublanes
+            self._words = jax.device_put(self.sell.words, device)
+            self._meta3d = jax.device_put(
+                self.sell.meta.reshape(-1, 1, cpb), device
+            )
+            self._row_ids = jax.device_put(self.sell.row_ids, device)
+        else:
+            raise ValueError(f"unknown layout {config.layout!r}")
+
+    def candidates_traceable(self, table):
+        """(topv, topt) from a device-resident (num_groups, 128) table;
+        safe to call inside jit/scan (the matrix arrays are captured)."""
+        if self.config.layout == "bucketed":
+            from .ops.kernel import topk_spmv_bucket_device
+
+            tvs, tts = [], []
+            for bw, b in zip(self._bwords, self.sell.buckets):
+                tv, tt = topk_spmv_bucket_device(
+                    bw, table, cfg=self.config, interpret=self._interpret,
+                    codec=self.config.query_codec,
+                    num_groups=self.config.max_cols // LANES, width=b.width,
+                    slices_per_block=b.slices_per_block,
+                    slice_base=b.slice_base, num_real=b.num_slices,
+                    num_blocks=b.num_blocks,
+                )
+                tvs.append(tv)
+                tts.append(tt)
+            return jnp.stack(tvs), jnp.stack(tts)
+        return topk_spmv_sell_device(
+            self._words, self._meta3d, table,
+            cfg=self.config, interpret=self._interpret,
+        )
 
     # -- query path ---------------------------------------------------------
 
-    def _table(self, vec: np.ndarray) -> jax.Array:
+    def _table(self, vec: np.ndarray):
+        """Device query table + score scale factor (1.0 for exact codecs)."""
         vec = np.asarray(vec, dtype=np.float32)
         if vec.shape != (self.num_cols,):
             raise ValueError(
@@ -82,36 +119,93 @@ class TopKSpMV:
             )
         padded = np.zeros(self.config.max_cols, np.float32)
         padded[: self.num_cols] = vec
-        return jax.device_put(padded.reshape(-1, LANES), self.device)
+        if self.config.query_codec == "int8x4":
+            from .ops.quantized_query import pack_query_int8
+
+            tab, scale = pack_query_int8(padded)
+            return jax.device_put(tab, self.device), scale
+        return jax.device_put(padded.reshape(-1, LANES), self.device), 1.0
 
     def candidates(self, vec) -> tuple[jax.Array, jax.Array]:
-        """Per-lane Top-K candidates (topv, topt) before the global merge."""
-        return topk_spmv_sell_device(
-            self._words, self._meta3d, self._table(vec),
-            cfg=self.config, interpret=self._interpret,
-        )
+        """Per-lane Top-K candidates (topv, topt) before the global merge.
+        Values are unscaled when query_codec is quantized."""
+        if not hasattr(self, "_jit_candidates"):
+            self._jit_candidates = jax.jit(self.candidates_traceable)
+        table, self._last_scale = self._table(vec)
+        return self._jit_candidates(table)
 
     def query(self, vec, k: Optional[int] = None):
         """Top-K rows by A @ vec: returns (indices, values), sorted desc."""
         k = k or self.config.k
         topv, topt = self.candidates(vec)
         idx, vals = finalize_topk(topv, topt, self._row_ids, k=k)
+        if self._last_scale != 1.0:
+            vals = vals * self._last_scale
         return idx, vals
 
-    def query_batch(self, queries, k: Optional[int] = None):
+    def batch_candidates_traceable(self, tables):
+        """(Q, buckets, K, 128) candidates from stacked query tables."""
+        from .ops.kernel import topk_spmv_bucket_batch_device
+
+        tvs, tts = [], []
+        for bw, b in zip(self._bwords, self.sell.buckets):
+            tv, tt = topk_spmv_bucket_batch_device(
+                bw, tables, cfg=self.config, interpret=self._interpret,
+                codec=self.config.query_codec, width=b.width,
+                slices_per_block=b.slices_per_block,
+                slice_base=b.slice_base, num_real=b.num_slices,
+                num_blocks=b.num_blocks,
+            )
+            tvs.append(tv)
+            tts.append(tt)
+        return jnp.stack(tvs, axis=1), jnp.stack(tts, axis=1)
+
+    def query_batch(self, queries, k: Optional[int] = None,
+                    group_size: int = 8):
         """Batched queries (Q, C) -> (Q, k) indices and values.
 
-        The SpMM analog of multi_spmv_gold (gold_algorithms.hpp:21-35).
-        Currently iterates the fused kernel per query; a dedicated
-        multi-query kernel amortizes the matrix stream across queries.
+        The SpMM analog of multi_spmv_gold (gold_algorithms.hpp:21-35): a
+        multi-query kernel decodes each matrix block once and amortizes the
+        HBM stream across `group_size` queries.
         """
         k = k or self.config.k
-        idxs, vals = [], []
-        for q in np.asarray(queries):
-            i, v = self.query(q, k)
-            idxs.append(i)
-            vals.append(v)
-        return jnp.stack(idxs), jnp.stack(vals)
+        queries = np.asarray(queries, dtype=np.float32)
+        if self.config.layout != "bucketed":
+            outs = [self.query(q, k) for q in queries]
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]))
+
+        if not hasattr(self, "_jit_batch"):
+            self._jit_batch = jax.jit(self.batch_candidates_traceable)
+            self._jit_batch_finalize = jax.jit(
+                jax.vmap(
+                    lambda tv, tt, rid: finalize_topk(tv, tt, rid, k=k),
+                    in_axes=(0, 0, None),
+                ),
+                static_argnames=(),
+            )
+            self._jit_batch_k = k
+        if k != self._jit_batch_k:
+            self._jit_batch_finalize = jax.jit(jax.vmap(
+                lambda tv, tt, rid: finalize_topk(tv, tt, rid, k=k),
+                in_axes=(0, 0, None)))
+            self._jit_batch_k = k
+
+        Qtot = len(queries)
+        idx_all, val_all = [], []
+        for start in range(0, Qtot, group_size):
+            chunk = queries[start:start + group_size]
+            n_real = len(chunk)
+            if n_real < group_size:  # pad the tail group (static shapes)
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], group_size - n_real, 0)])
+            tabs, scales = zip(*(self._table(q) for q in chunk))
+            tv, tt = self._jit_batch(jnp.stack(tabs))
+            idx, vals = self._jit_batch_finalize(tv, tt, self._row_ids)
+            vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
+            idx_all.append(idx[:n_real])
+            val_all.append(vals[:n_real])
+        return jnp.concatenate(idx_all), jnp.concatenate(val_all)
 
     # -- accounting ---------------------------------------------------------
 

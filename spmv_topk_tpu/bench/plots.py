@@ -1,0 +1,157 @@
+"""Figure generation from sweep CSVs.
+
+TPU-native counterpart of the reference's plotting suite
+(/root/reference/src/resources/python/plotting/: plot_exec_time.py,
+plot_errors.py, plot_roofline.py — 2.7k LoC of paper figures). Reads the
+CSVs written by bench.sweep (same naming convention,
+{impl}_{rows}_{cols}_{dist}_{deg}_{bits}_{parts}_{k}_{iters}.csv,
+cf. plot_errors.py:52) and produces:
+
+  - exec-time / throughput bars across configurations (plot_exec_time.py)
+  - accuracy curves: precision / NDCG / Kendall-tau per config
+    (plot_errors.py:85-94)
+  - a roofline chart: achieved nnz/s vs the chip's HBM roofline at the
+    format's operational intensity (plot_roofline.py:178-209)
+
+Usage: python -m spmv_topk_tpu.bench.plots results/ --out results/plots
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+# Per-chip peaks for roofline accounting (plot_roofline.py hard-codes the
+# U280/P100/Xeon equivalents at :180-209).
+CHIP_PEAKS_GBPS = {
+    "tpu v5 lite": 819.0,   # v5e HBM2E
+    "tpu v4": 1228.0,
+    "tpu v5": 2765.0,       # v5p
+    "tpu v6 lite": 1640.0,  # v6e / trillium
+    "cpu": 100.0,
+}
+
+REFERENCE_POINTS = [
+    # label, GNNZ/s (BASELINE.md)
+    ("CPU 2x Xeon 6248 (sparse_dot_topn)", 0.4),
+    ("GPU P100 F32 (cuSPARSE)", 27.0),
+    ("GPU P100 F16", 30.0),
+    ("FPGA U280 32c 32-bit", 50.0),
+    ("FPGA U280 32c 20-bit", 76.9),
+]
+
+
+def _parse_name(path: str) -> dict:
+    parts = os.path.basename(path)[:-4].split("_")
+    return dict(impl=parts[0], rows=int(parts[1]), cols=int(parts[2]),
+                dist=parts[3], deg=int(parts[4]), bits=parts[5],
+                partitions=int(parts[6]), k=int(parts[7]),
+                iters=int(parts[8]))
+
+
+def load_results(results_dir: str) -> pd.DataFrame:
+    frames = []
+    for path in sorted(glob.glob(os.path.join(results_dir, "*.csv"))):
+        meta = _parse_name(path)
+        df = pd.read_csv(path)
+        for key, val in meta.items():
+            df[key] = val
+        df["config"] = os.path.basename(path)[:-4]
+        frames.append(df)
+    if not frames:
+        raise FileNotFoundError(f"no CSVs in {results_dir}")
+    return pd.concat(frames, ignore_index=True)
+
+
+def plot_exec_time(df: pd.DataFrame, out: str, warmup_skip: int = 2):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = (df[df.iteration >= warmup_skip]
+         .groupby("config")["hw_exec_time_ms"].agg(["mean", "std"]))
+    fig, ax = plt.subplots(figsize=(max(6, 0.6 * len(g)), 4))
+    ax.bar(range(len(g)), g["mean"], yerr=g["std"], capsize=3)
+    ax.set_xticks(range(len(g)))
+    ax.set_xticklabels(g.index, rotation=45, ha="right", fontsize=7)
+    ax.set_ylabel("exec time [ms]")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out, "exec_time.png"), dpi=150)
+    plt.close(fig)
+
+
+def plot_errors(df: pd.DataFrame, out: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    metrics = ["precision", "ndcg", "kendall_tau"]
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.5), sharey=True)
+    for ax, mname in zip(axes, metrics):
+        g = df.groupby("config")[mname].mean()
+        ax.bar(range(len(g)), g.values)
+        ax.set_xticks(range(len(g)))
+        ax.set_xticklabels(g.index, rotation=45, ha="right", fontsize=6)
+        ax.set_title(mname)
+        ax.set_ylim(0.0, 1.02)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out, "errors.png"), dpi=150)
+    plt.close(fig)
+
+
+def plot_roofline(df: pd.DataFrame, out: str, bytes_per_nnz: float = 4.25,
+                  chip: str = "tpu v5 lite", warmup_skip: int = 2):
+    """Achieved nnz/s per config vs the chip HBM roofline and the published
+    reference points (plot_roofline.py:178-209)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    peak = CHIP_PEAKS_GBPS.get(chip, 819.0)
+    roof_gnnz = peak / bytes_per_nnz
+
+    nnz_per_cfg = df.groupby("config").apply(
+        lambda x: x["rows"].iloc[0] * x["deg"].iloc[0], include_groups=False)
+    t = (df[df.iteration >= warmup_skip]
+         .groupby("config")["hw_exec_time_ms"].mean())
+    gnnz = (nnz_per_cfg / (t / 1e3)) / 1e9
+
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.bar(range(len(gnnz)), gnnz.values, label=f"{chip} (this work)")
+    ax.axhline(roof_gnnz, ls="--", c="k",
+               label=f"HBM roofline {roof_gnnz:.0f} GNNZ/s @ {bytes_per_nnz} B/nnz")
+    for label, val in REFERENCE_POINTS:
+        ax.axhline(val, ls=":", lw=0.8, c="gray")
+        ax.annotate(label, (len(gnnz) - 0.5, val), fontsize=6, va="bottom",
+                    ha="right")
+    ax.set_xticks(range(len(gnnz)))
+    ax.set_xticklabels(gnnz.index, rotation=45, ha="right", fontsize=7)
+    ax.set_ylabel("GNNZ/s")
+    ax.set_yscale("log")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out, "roofline.png"), dpi=150)
+    plt.close(fig)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("results_dir")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--chip", default="tpu v5 lite")
+    args = ap.parse_args()
+    out = args.out or os.path.join(args.results_dir, "plots")
+    os.makedirs(out, exist_ok=True)
+    df = load_results(args.results_dir)
+    plot_exec_time(df, out)
+    plot_errors(df, out)
+    plot_roofline(df, out, chip=args.chip)
+    print(f"wrote plots to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,8 @@ class TopKSpMVConfig:
     chunk_sublanes: int = 8
     block_sublanes: int = 512
     sigma_sort: bool = True
+    layout: str = "bucketed"        # "bucketed" (static-W, fast) | "streamed"
+    query_codec: str = "f32"        # "f32" (exact) | "int8x4" (2 gather passes)
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
     def __post_init__(self):

@@ -1,0 +1,182 @@
+"""Bucketed uniform-width SELL-128: the fast device layout.
+
+Measurement on TPU v5e showed that per-sub-chunk scalar-conditioned folds
+(`pl.when` on an SMEM metadata word, sell.py's streamed layout) stall the
+vector pipeline ~2.5x. This layout removes ALL dynamic control flow from
+the kernel:
+
+  - slices are already degree-sorted (sigma-sort), so slices with equal
+    padded width W form contiguous runs; W is quantized to a ~1.25-ratio
+    ladder and each run becomes a *bucket*;
+  - within a bucket every slice has the same static W, so the fold cadence
+    (one row-sum + Top-K update per slice) is compile-time constant: no
+    metadata stream, no SMEM reads, no branches, and the slice accumulator
+    lives in vector registers instead of scratch;
+  - each bucket is one pallas_call with its own grid; per-bucket candidate
+    buffers are concatenated before the global merge.
+
+This plays the role of the reference's single fixed BSCSR packet geometry
+(types.hpp:61-73) — where the FPGA fixes B at synthesis time for all data,
+the TPU fixes W per degree-bucket at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import LANES, TopKSpMVConfig, DEFAULT_CONFIG
+from .coo import CooMatrix
+from ..ops.fixedpoint import quantize as quantize_values, bf16_bits
+
+# Quantized slice widths: multiples of the 8-sublane chunk with ~1.25
+# geometric spacing above 64 (bounded padding from quantization).
+W_LADDER = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+            224, 256, 320, 384, 448, 512, 640, 768, 896, 1024, 1280, 1536,
+            1792, 2048, 2560, 3072, 4096, 8192, 16384, 32768]
+
+
+def _quantize_w(w: int) -> int:
+    for q in W_LADDER:
+        if w <= q:
+            return q
+    return -(-w // 8) * 8
+
+
+@dataclasses.dataclass
+class SellBucket:
+    """One uniform-W run of slices."""
+
+    words: np.ndarray        # (num_blocks * block_sublanes, 128) int32
+    width: int               # W: sublanes per slice (static)
+    block_sublanes: int      # sublanes per grid block (multiple of W)
+    num_blocks: int
+    slice_base: int          # global index of the bucket's first slice
+    num_slices: int          # real slices (before block padding)
+
+    @property
+    def slices_per_block(self) -> int:
+        return self.block_sublanes // self.width
+
+
+@dataclasses.dataclass
+class BucketedSellMatrix:
+    buckets: list
+    row_ids: np.ndarray      # (num_slices_total + 1, 128); last row all -1
+    num_rows: int
+    num_cols: int
+    num_nnz: int
+    config: TopKSpMVConfig
+
+    @property
+    def num_slices(self) -> int:
+        return self.row_ids.shape[0] - 1
+
+    @property
+    def hbm_bytes(self) -> int:
+        return sum(int(b.words.nbytes) for b in self.buckets)
+
+    @property
+    def padded_nnz(self) -> int:
+        return sum(b.words.shape[0] * LANES for b in self.buckets)
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.padded_nnz / max(self.num_nnz, 1)
+
+
+def pack_sell_buckets(
+    coo: CooMatrix, config: TopKSpMVConfig = DEFAULT_CONFIG,
+    target_block_sublanes: int | None = None,
+) -> BucketedSellMatrix:
+    if coo.num_cols > config.max_cols:
+        raise ValueError(
+            f"matrix has {coo.num_cols} cols > config.max_cols={config.max_cols}"
+        )
+    if not coo.is_sorted_row_major():
+        coo = coo.sort_row_major()
+    from ..utils import native
+
+    S = config.chunk_sublanes
+    tgt = target_block_sublanes or config.block_sublanes
+
+    degrees = coo.row_degrees()
+    num_slices = -(-coo.num_rows // LANES)
+    pad_rows = num_slices * LANES - coo.num_rows
+    vals_q = quantize_values(coo.vals, config.value_format)
+
+    row_start = np.zeros(coo.num_rows + 1, dtype=np.int64)
+    np.cumsum(degrees, out=row_start[1:])
+
+    plan = native.sell_plan(degrees, S, config.sigma_sort)
+    if plan is not None:
+        perm, rank_of_row, slice_w = plan
+    else:
+        perm = (np.argsort(-degrees, kind="stable") if config.sigma_sort
+                else np.arange(coo.num_rows))
+        rank_of_row = np.empty(coo.num_rows, dtype=np.int64)
+        rank_of_row[perm] = np.arange(coo.num_rows)
+        deg_padded = np.concatenate([degrees[perm], np.zeros(pad_rows, np.int32)])
+        slice_w = deg_padded.reshape(num_slices, LANES).max(axis=1)
+        slice_w = np.maximum(-(-slice_w // S) * S, S)
+
+    # Quantize widths to the ladder; sigma-sorted slices make equal-W runs
+    # contiguous (width is monotone when sigma_sort, nearly so otherwise).
+    slice_wq = np.array([_quantize_w(int(w)) for w in slice_w], np.int64)
+
+    perm_padded = np.concatenate([perm, np.full(pad_rows, -1, np.int64)])
+    row_ids = np.concatenate([
+        perm_padded.reshape(num_slices, LANES),
+        np.full((1, LANES), -1, np.int64),           # sentinel slice
+    ]).astype(np.int32)
+
+    slice_off = np.zeros(num_slices + 1, dtype=np.int64)
+    np.cumsum(slice_wq, out=slice_off[1:])
+    total_sub = int(slice_off[-1])
+
+    # Scatter all nnz once into the quantized-width global slab.
+    words = native.sell_scatter(
+        coo.rows, coo.cols, vals_q, row_start, rank_of_row, slice_off,
+        total_sub,
+    )
+    if words is None:
+        slice_of_row = rank_of_row // LANES
+        lane_of_row = rank_of_row % LANES
+        within_row = np.arange(coo.nnz, dtype=np.int64) - row_start[coo.rows]
+        dest_sub = slice_off[slice_of_row[coo.rows]] + within_row
+        dest_lane = lane_of_row[coo.rows]
+        w32 = np.zeros((total_sub, LANES), dtype=np.uint32)
+        w32[dest_sub, dest_lane] = (
+            (coo.cols.astype(np.uint32) << 16)
+            | bf16_bits(vals_q).astype(np.uint32)
+        )
+        words = w32.view(np.int32)
+
+    # Cut into buckets = contiguous equal-W runs.
+    buckets = []
+    t = 0
+    while t < num_slices:
+        W = int(slice_wq[t])
+        t_end = t
+        while t_end < num_slices and slice_wq[t_end] == W:
+            t_end += 1
+        n_sl = t_end - t
+        spb = max(1, tgt // W)
+        block_sub = spb * W
+        num_blocks = -(-n_sl // spb)
+        sub0 = int(slice_off[t])
+        sub1 = int(slice_off[t_end])
+        bw = np.zeros((num_blocks * block_sub, LANES), np.int32)
+        bw[: sub1 - sub0] = words[sub0:sub1]
+        buckets.append(SellBucket(
+            words=bw, width=W, block_sublanes=block_sub,
+            num_blocks=num_blocks, slice_base=t, num_slices=n_sl,
+        ))
+        t = t_end
+
+    return BucketedSellMatrix(
+        buckets=buckets, row_ids=row_ids,
+        num_rows=coo.num_rows, num_cols=coo.num_cols, num_nnz=coo.nnz,
+        config=config,
+    )

@@ -118,6 +118,239 @@ def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
         topt_ref[0] = tt[:]
 
 
+def _gather_from_bcs(bcs, w, sublanes):
+    """vec[col] via hoisted broadcast table rows (see _gather_query)."""
+    lo = jax.lax.shift_right_logical(w, 16) & 0x7F
+    if len(bcs) == 1:
+        return jnp.take_along_axis(bcs[0], lo, axis=1)
+    hi = jax.lax.shift_right_logical(w, 23)
+    sel = None
+    for c, bc in enumerate(bcs):
+        g = jnp.take_along_axis(bc, lo, axis=1)
+        sel = g if sel is None else jnp.where(hi == c, g, sel)
+    return sel
+
+
+def _gather_from_bcs_int8(bcs, w, sublanes):
+    """vec[col] from an int8x4-packed query table (see pack_query_int8).
+
+    Each int32 table word packs 4 biased-uint8 quantized query entries, so
+    one 128-lane table row covers 512 columns: C=1024 needs 2 gather
+    passes instead of 8. Returns the *unscaled* (q - 128) value; the
+    caller rescales final scores by the quantization scale (rank-safe).
+    """
+    lo = jax.lax.shift_right_logical(w, 16) & 0x7F
+    sel = None
+    for c, bc in enumerate(bcs):
+        g = jnp.take_along_axis(bc, lo, axis=1)
+        if sel is None:
+            sel = g
+        else:
+            # word group = col >> 9 -> bit (25 + log2 terms) of w; compare
+            # against pass index via the shifted column bits.
+            hi9 = jax.lax.shift_right_logical(w, 25)
+            sel = jnp.where(hi9 == c, g, sel)
+    # byte index = (col >> 7) & 3; its bits sit at w[23:25] -> shift amount
+    # ((col >> 7) & 3) * 8 == (w >> 20) & 0b11000.
+    sh = jax.lax.shift_right_logical(w, 20) & 24
+    byte = jax.lax.shift_right_logical(sel, sh) & 0xFF
+    return (byte - 128).astype(jnp.float32)
+
+
+def _bucket_kernel(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
+                   cfg: TopKSpMVConfig, num_groups: int, width: int,
+                   slices_per_block: int, slice_base: int, num_real: int,
+                   codec: str = "f32"):
+    """Uniform-W bucket kernel: zero dynamic control flow in the hot loop.
+
+    Slice boundaries are static (every `width` sublanes), so the row
+    accumulator is a vector-register value and the Top-K fold runs at a
+    compile-time cadence — the streamed layout's per-sub-chunk metadata
+    branch measured ~2.5x slower on v5e.
+    """
+    i = pl.program_id(0)
+    S = cfg.chunk_sublanes
+    K = cfg.lane_k
+
+    @pl.when(i == 0)
+    def _():
+        tv[:] = jnp.full_like(tv, NEG_INF)
+        tt[:] = jnp.zeros_like(tt)
+
+    shape = (S, LANES)
+    bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
+           for c in range(tab_ref.shape[0])]
+    gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
+
+    for j in range(slices_per_block):
+        acc = jnp.zeros((S, LANES), jnp.float32)
+        for u in range(width // S):
+            s = j * (width // S) + u
+            w = words_ref[s * S:(s + 1) * S, :]
+            acc += _decode_val(w) * gather(bcs, w, S)
+        score = jnp.sum(acc, axis=0, keepdims=True)          # (1, 128)
+        t = slice_base + i * slices_per_block + j
+        # Block-padding slices (t beyond the bucket) must not displace real
+        # candidates: mask them to -inf (scalar compare, branch-free).
+        score = jnp.where(t < slice_base + num_real, score, NEG_INF)
+        _topk_update(tv, tt, score, t, K)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        topv_ref[:] = tv[:]
+        topt_ref[:] = tt[:]
+
+
+def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
+                         cfg: TopKSpMVConfig, width: int,
+                         slices_per_block: int, slice_base: int,
+                         num_real: int, codec: str, num_queries: int,
+                         table_rows: int):
+    """Multi-query bucket kernel: the matrix block is decoded once per
+    sub-chunk and all queries' gathers share it (the SpMM analog of
+    multi_spmv_gold, gold_algorithms.hpp:21-35 — here the batch amortizes
+    both HBM traffic and the word decode)."""
+    i = pl.program_id(0)
+    S = cfg.chunk_sublanes
+    K = cfg.lane_k
+    Q = num_queries
+    TR = table_rows
+
+    @pl.when(i == 0)
+    def _():
+        tv[:] = jnp.full_like(tv, NEG_INF)
+        tt[:] = jnp.zeros_like(tt)
+
+    shape = (S, LANES)
+    bcs_q = [
+        [jnp.broadcast_to(tab_ref[q * TR + c:q * TR + c + 1, :], shape)
+         for c in range(TR)]
+        for q in range(Q)
+    ]
+    gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
+
+    for j in range(slices_per_block):
+        accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
+        for u in range(width // S):
+            s = j * (width // S) + u
+            w = words_ref[s * S:(s + 1) * S, :]
+            val = _decode_val(w)
+            for q in range(Q):
+                accs[q] = accs[q] + val * gather(bcs_q[q], w, S)
+        t = slice_base + i * slices_per_block + j
+        for q in range(Q):
+            score = jnp.sum(accs[q], axis=0, keepdims=True)
+            score = jnp.where(t < slice_base + num_real, score, NEG_INF)
+            # per-query Top-K buffers live at tv[q], tt[q]
+            cur = tv[q]
+            cur_min = jnp.min(cur, axis=0, keepdims=True)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+            slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
+                           keepdims=True)
+            replace = (iota == slot) & (score >= cur_min)
+            tv[q] = jnp.where(replace, score, cur)
+            tt[q] = jnp.where(replace, t, tt[q])
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        topv_ref[:] = tv[:]
+        topt_ref[:] = tt[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "width", "slices_per_block", "slice_base",
+                     "num_real", "num_blocks", "interpret", "codec"),
+)
+def topk_spmv_bucket_batch_device(
+    words, tables, *, cfg: TopKSpMVConfig, width: int,
+    slices_per_block: int, slice_base: int, num_real: int, num_blocks: int,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Batched bucket kernel. tables: (Q, table_rows, 128); returns
+    (topv, topt) of (Q, lane_k, 128)."""
+    Q, TR, _ = tables.shape
+    K = cfg.lane_k
+    block_sub = width * slices_per_block
+    kernel = functools.partial(
+        _bucket_kernel_batch, cfg=cfg, width=width,
+        slices_per_block=slices_per_block, slice_base=slice_base,
+        num_real=num_real, codec=codec, num_queries=Q, table_rows=TR,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((Q * TR, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sub, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, K, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, K, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, K, LANES), jnp.float32),
+            pltpu.VMEM((Q, K, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tables.reshape(Q * TR, LANES), words)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_groups", "width", "slices_per_block",
+                     "slice_base", "num_real", "num_blocks", "interpret",
+                     "codec"),
+)
+def topk_spmv_bucket_device(
+    words, table, *, cfg: TopKSpMVConfig, num_groups: int, width: int,
+    slices_per_block: int, slice_base: int, num_real: int, num_blocks: int,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Run the uniform-W bucket kernel; returns (topv, topt) of (K, 128)."""
+    K = cfg.lane_k
+    block_sub = width * slices_per_block
+    kernel = functools.partial(
+        _bucket_kernel, cfg=cfg, num_groups=num_groups, width=width,
+        slices_per_block=slices_per_block, slice_base=slice_base,
+        num_real=num_real, codec=codec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (table.shape[0], LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sub, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, LANES), jnp.float32),
+            pltpu.VMEM((K, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(table, words)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def topk_spmv_sell_device(
     words, meta3d, table, *, cfg: TopKSpMVConfig, interpret: bool = False
@@ -194,7 +427,9 @@ def finalize_topk(topv, topt, row_ids, k: int):
     """
     L = row_ids.shape[1]
     flat_v = topv.reshape(-1)
-    flat_t = topt.reshape(-1)
+    # Block-padding candidates may carry slice indices past the end; clamp
+    # into the sentinel (-1) row so they mask out.
+    flat_t = jnp.clip(topt.reshape(-1), 0, row_ids.shape[0] - 1)
     lane = jax.lax.broadcasted_iota(
         jnp.int32, topv.shape, len(topv.shape) - 1
     ).reshape(-1)

@@ -31,6 +31,10 @@ def sell_scores_np(m: SellMatrix, query: np.ndarray) -> np.ndarray:
     (8, 128) accumulator then reduced; NumPy's pairwise f32 sum differs only
     below test tolerance for the sizes used in tests.
     """
+    from ..formats.sell_buckets import BucketedSellMatrix
+
+    if isinstance(m, BucketedSellMatrix):
+        return _bucketed_scores_np(m, query)
     w = m.words.view(np.uint32)
     cols = (w >> 16).astype(np.int64)
     vals = (w << 16).view(np.float32)
@@ -53,6 +57,28 @@ def sell_scores_np(m: SellMatrix, query: np.ndarray) -> np.ndarray:
                 real = ids >= 0
                 scores[ids[real]] = acc[real]
                 acc[:] = 0.0
+    return scores
+
+
+def _bucketed_scores_np(m, query: np.ndarray) -> np.ndarray:
+    """Per-row scores of the bucketed layout (kernel-order f32 sums)."""
+    scores = np.full(m.num_rows, np.nan, np.float32)
+    for b in m.buckets:
+        w = b.words.view(np.uint32)
+        cols = (w >> 16).astype(np.int64)
+        vals = (w << 16).view(np.float32)
+        prods = np.where(w != 0, vals * query[cols].astype(np.float32), 0.0)
+        S = m.config.chunk_sublanes
+        for j in range(b.num_slices):
+            t = b.slice_base + j
+            # accumulate in the kernel's order: S-sublane partials
+            acc = np.zeros(prods.shape[1], np.float32)
+            for u in range(b.width // S):
+                lo = j * b.width + u * S
+                acc += prods[lo:lo + S].sum(axis=0, dtype=np.float32)
+            ids = m.row_ids[t]
+            real = ids >= 0
+            scores[ids[real]] = acc[real]
     return scores
 
 
