@@ -15,13 +15,14 @@ for codec in ("int8x4", "f32"):
     r = lambda: np.asarray(f(tabs)[0])
     r()
     # time NREP batched kernel invocations via scan
-    @jax.jit
+    import functools
+    @functools.partial(jax.jit, static_argnames=("n",))
     def rep(tabs, n):
         def step(c, _):
             tv, tt = eng.batch_candidates_traceable(tabs)
             return c, tv.max()
         return jax.lax.scan(step, 0, jnp.arange(n))[1]
-    g = lambda n: np.asarray(rep(tabs, n))
+    g = lambda n: np.asarray(rep(tabs, n=n))
     g(2); g(10)
     def tme(n):
         best=9e9

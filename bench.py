@@ -64,11 +64,11 @@ def main():
 
         return lambda: np.asarray(run(tables)[0])
 
-    short, long_ = stream_fn(3), stream_fn(13)
+    short, long_ = stream_fn(2), stream_fn(22)
     short(); long_()  # compile + warm
     ts = min(_timed(short) for _ in range(3))
     tl = min(_timed(long_) for _ in range(3))
-    per_query = (tl - ts) / 10.0
+    per_query = (tl - ts) / 20.0
 
     gnnz = coo.nnz / per_query / 1e9
     hbm_gbps = eng.hbm_bytes / per_query / 1e9

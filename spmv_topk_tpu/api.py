@@ -71,6 +71,10 @@ class TopKSpMV:
             self._bwords = [
                 jax.device_put(b.words, device) for b in self.sell.buckets
             ]
+            self._bnreal = [
+                jax.device_put(np.array([[b.num_slices]], np.int32), device)
+                for b in self.sell.buckets
+            ]
             self._row_ids = jax.device_put(self.sell.row_ids, device)
 
         elif config.layout == "streamed":
@@ -91,14 +95,14 @@ class TopKSpMV:
             from .ops.kernel import topk_spmv_bucket_device
 
             tvs, tts = [], []
-            for bw, b in zip(self._bwords, self.sell.buckets):
+            for bw, nr, b in zip(self._bwords, self._bnreal, self.sell.buckets):
                 tv, tt = topk_spmv_bucket_device(
-                    bw, table, cfg=self.config, interpret=self._interpret,
+                    bw, table, nr, cfg=self.config,
+                    interpret=self._interpret,
                     codec=self.config.query_codec,
                     num_groups=self.config.max_cols // LANES, width=b.width,
                     slices_per_block=b.slices_per_block,
-                    slice_base=b.slice_base, num_real=b.num_slices,
-                    num_blocks=b.num_blocks,
+                    slice_base=b.slice_base, num_blocks=b.num_blocks,
                 )
                 tvs.append(tv)
                 tts.append(tt)

@@ -157,9 +157,9 @@ def _gather_from_bcs_int8(bcs, w, sublanes):
     return (byte - 128).astype(jnp.float32)
 
 
-def _bucket_kernel(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
-                   cfg: TopKSpMVConfig, num_groups: int, width: int,
-                   slices_per_block: int, slice_base: int, num_real: int,
+def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
+                   tv, tt, *, cfg: TopKSpMVConfig, num_groups: int,
+                   width: int, slices_per_block: int, slice_base: int,
                    codec: str = "f32"):
     """Uniform-W bucket kernel: zero dynamic control flow in the hot loop.
 
@@ -190,9 +190,11 @@ def _bucket_kernel(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
             acc += _decode_val(w) * gather(bcs, w, S)
         score = jnp.sum(acc, axis=0, keepdims=True)          # (1, 128)
         t = slice_base + i * slices_per_block + j
-        # Block-padding slices (t beyond the bucket) must not displace real
-        # candidates: mask them to -inf (scalar compare, branch-free).
-        score = jnp.where(t < slice_base + num_real, score, NEG_INF)
+        # Block-padding slices (t beyond the bucket's real count — a
+        # dynamic scalar, so device shards with fewer slices share one
+        # compiled kernel) must not displace real candidates: mask to
+        # -inf (scalar compare, branch-free).
+        score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
         _topk_update(tv, tt, score, t, K)
 
     @pl.when(i == pl.num_programs(0) - 1)
@@ -307,26 +309,31 @@ def topk_spmv_bucket_batch_device(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_groups", "width", "slices_per_block",
-                     "slice_base", "num_real", "num_blocks", "interpret",
-                     "codec"),
+                     "slice_base", "num_blocks", "interpret", "codec"),
 )
 def topk_spmv_bucket_device(
-    words, table, *, cfg: TopKSpMVConfig, num_groups: int, width: int,
-    slices_per_block: int, slice_base: int, num_real: int, num_blocks: int,
+    words, table, num_real, *, cfg: TopKSpMVConfig, num_groups: int,
+    width: int, slices_per_block: int, slice_base: int, num_blocks: int,
     interpret: bool = False, codec: str = "f32",
 ):
-    """Run the uniform-W bucket kernel; returns (topv, topt) of (K, 128)."""
+    """Run the uniform-W bucket kernel; returns (topv, topt) of (K, 128).
+
+    num_real is a (1, 1) int32 array (dynamic: sharded engines reuse one
+    compiled kernel across devices whose shards differ in slice count).
+    """
     K = cfg.lane_k
     block_sub = width * slices_per_block
     kernel = functools.partial(
         _bucket_kernel, cfg=cfg, num_groups=num_groups, width=width,
         slices_per_block=slices_per_block, slice_base=slice_base,
-        num_real=num_real, codec=codec,
+        codec=codec,
     )
     return pl.pallas_call(
         kernel,
         grid=(num_blocks,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (table.shape[0], LANES), lambda i: (0, 0),
                 memory_space=pltpu.VMEM),
@@ -348,7 +355,7 @@ def topk_spmv_bucket_device(
             pltpu.VMEM((K, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(table, words)
+    )(num_real, table, words)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

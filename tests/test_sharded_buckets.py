@@ -1,0 +1,47 @@
+"""Bucketed sharded engine on the virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from spmv_topk_tpu.config import TopKSpMVConfig
+from spmv_topk_tpu.formats import create_sparse_matrix, create_sample_vector
+from spmv_topk_tpu.ops.gold import topk_exact
+from spmv_topk_tpu.parallel import make_mesh
+from spmv_topk_tpu.parallel.sharded_buckets import ShardedBucketedTopKSpMV
+
+
+def _precision(a, b):
+    a = np.asarray(a).tolist(); b = np.asarray(b).tolist()
+    return len(set(a) & set(b)) / len(a)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("codec", ["f32", "int8x4"])
+def test_sharded_bucketed_matches_exact(ndev, codec):
+    mesh = make_mesh(jax.devices()[:ndev])
+    coo = create_sparse_matrix(4000, 256, 12, "gamma", seed=70)
+    cfg = TopKSpMVConfig(k=50, max_cols=256, block_sublanes=64,
+                         query_codec=codec)
+    eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    q = create_sample_vector(256, seed=71)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 50)
+    want = 1.0 if codec == "f32" else 0.9
+    assert _precision(gi, ki) >= min(want, 0.98)
+    if codec == "f32":
+        np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=2e-3)
+
+
+def test_sharded_bucketed_equals_single_device():
+    from spmv_topk_tpu.api import TopKSpMV
+    mesh = make_mesh(jax.devices()[:4])
+    coo = create_sparse_matrix(2000, 256, 10, "uniform", seed=72)
+    cfg = TopKSpMVConfig(k=30, max_cols=256, block_sublanes=64)
+    sharded = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    single = TopKSpMV(coo, cfg)
+    q = create_sample_vector(256, seed=73)
+    si, sv = map(np.asarray, sharded.query(q))
+    di, dv = map(np.asarray, single.query(q))
+    assert _precision(di, si) == 1.0
+    np.testing.assert_allclose(np.sort(sv), np.sort(dv), atol=1e-6)
