@@ -178,3 +178,32 @@ def topk_bscsr_packet_gold(
         res_idx[int(state[0])] = carry_row
         res_val[int(state[0])] = carry_val
     return res_idx.astype(np.int32), res_val
+
+
+def pagerank_gold(
+    coo: CooMatrix,
+    alpha: float = 0.85,
+    max_err: float = 1e-6,
+    max_iter: int = 100,
+):
+    """Legacy PageRank gold (pagerank_golden, gold_algorithms.hpp:397-432).
+
+    Kept for parity with the reference's PageRank-era code paths: power
+    iteration with dangling-node redistribution and L2 convergence check.
+    Returns (pr_vector, iterations).
+    """
+    n = coo.num_rows
+    pr = np.full(n, 1.0 / n, dtype=np.float32)
+    dangling = np.ones(n, dtype=np.float32)
+    dangling[np.unique(coo.rows)] = 0.0  # rows with no out-edges (as stored)
+    shift_base = (1.0 - alpha) / n
+    for it in range(1, max_iter + 1):
+        spmv = spmv_exact(coo, pr)
+        dangling_contrib = float(dangling @ pr)
+        shift = shift_base + alpha * dangling_contrib / n
+        new_pr = (alpha * spmv + shift).astype(np.float32)
+        err = float(np.sum((new_pr - pr) ** 2))
+        pr = new_pr
+        if err <= max_err:
+            break
+    return pr, it

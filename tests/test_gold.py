@@ -89,3 +89,23 @@ def test_bf16_quantizer_round_nearest_even():
     assert q[0] == 1.0
     assert q[1] in (1.0, np.float32(1.0 + 2**-8))
     assert abs(q[3] + 0.3) < 2e-3
+
+
+def test_pagerank_gold_converges():
+    """Legacy PageRank parity (pagerank_golden, gold_algorithms.hpp:397)."""
+    import numpy as np
+    from spmv_topk_tpu.formats.coo import CooMatrix
+
+    rng = np.random.default_rng(80)
+    n = 50
+    rows = rng.integers(0, n, 400).astype(np.int32)
+    cols = rng.integers(0, n, 400).astype(np.int32)
+    # column-stochastic transition matrix
+    vals = np.ones(400, dtype=np.float32)
+    coo = CooMatrix(rows, cols, vals, n, n).sort_row_major()
+    colsum = np.bincount(coo.cols, coo.vals, minlength=n)
+    vals = coo.vals / np.maximum(colsum[coo.cols], 1)
+    coo = CooMatrix(coo.rows, coo.cols, vals, n, n)
+    pr, iters = gold.pagerank_gold(coo, max_iter=200)
+    assert iters < 200
+    assert abs(pr.sum() - 1.0) < 0.05
