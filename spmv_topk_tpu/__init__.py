@@ -7,7 +7,8 @@ row-sharded across TPU chips with a collective Top-K merge.
 """
 
 from .config import (
-    TopKSpMVConfig, ValueFormat, DEFAULT_CONFIG, F32, BF16, FIXED32, LANES,
+    TopKSpMVConfig, ValueFormat, DEFAULT_CONFIG, F32, BF16, FIXED32, FIXED8,
+    LANES,
 )
 from .api import TopKSpMV
 

@@ -51,6 +51,9 @@ class ValueFormat:
 F32 = ValueFormat("f32")
 BF16 = ValueFormat("bf16")
 FIXED32 = ValueFormat("fixed", fixed_width=32)
+# <=9 significant bits are exactly representable in the bf16 container, so
+# FIXED8 gives bit-exact ap_ufixed<8,1> semantics end to end.
+FIXED8 = ValueFormat("fixed", fixed_width=8)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -125,6 +125,25 @@ def pack_sell_buckets(
     # contiguous (width is monotone when sigma_sort, nearly so otherwise).
     slice_wq = np.array([_quantize_w(int(w)) for w in slice_w], np.int64)
 
+    # Merge runs into the previous (wider) one when the padding cost is
+    # small: every distinct width is a separately compiled kernel, and
+    # through the remote-compile tunnel each costs tens of seconds.
+    # Promotion only widens slices, so correctness is unaffected.
+    promote_cap_sublanes = 8 * tgt
+    if config.sigma_sort and num_slices > 1:
+        i = 0
+        cur_w = None
+        while i < num_slices:
+            j = i
+            w = int(slice_wq[i])
+            while j < num_slices and slice_wq[j] == w:
+                j += 1
+            if cur_w is not None and (j - i) * (cur_w - w) <= promote_cap_sublanes:
+                slice_wq[i:j] = cur_w
+            else:
+                cur_w = w
+            i = j
+
     perm_padded = np.concatenate([perm, np.full(pad_rows, -1, np.int64)])
     row_ids = np.concatenate([
         perm_padded.reshape(num_slices, LANES),

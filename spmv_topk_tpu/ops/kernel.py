@@ -118,9 +118,11 @@ def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
         topt_ref[0] = tt[:]
 
 
-def _gather_from_bcs(bcs, w, sublanes):
+def _gather_from_bcs(bcs, w, sublanes, mask_lanes=True):
     """vec[col] via hoisted broadcast table rows (see _gather_query)."""
-    lo = jax.lax.shift_right_logical(w, 16) & 0x7F
+    lo = jax.lax.shift_right_logical(w, 16)
+    if mask_lanes:  # TPU dynamic_gather wraps mod 128; interpret NaN-fills
+        lo = lo & 0x7F
     if len(bcs) == 1:
         return jnp.take_along_axis(bcs[0], lo, axis=1)
     hi = jax.lax.shift_right_logical(w, 23)
@@ -131,7 +133,7 @@ def _gather_from_bcs(bcs, w, sublanes):
     return sel
 
 
-def _gather_from_bcs_int8(bcs, w, sublanes):
+def _gather_from_bcs_int8(bcs, w, sublanes, mask_lanes=True):
     """vec[col] from an int8x4-packed query table (see pack_query_int8).
 
     Each int32 table word packs 4 biased-uint8 quantized query entries, so
@@ -139,7 +141,9 @@ def _gather_from_bcs_int8(bcs, w, sublanes):
     passes instead of 8. Returns the *unscaled* (q - 128) value; the
     caller rescales final scores by the quantization scale (rank-safe).
     """
-    lo = jax.lax.shift_right_logical(w, 16) & 0x7F
+    lo = jax.lax.shift_right_logical(w, 16)
+    if mask_lanes:
+        lo = lo & 0x7F
     sel = None
     for c, bc in enumerate(bcs):
         g = jnp.take_along_axis(bc, lo, axis=1)
@@ -160,7 +164,7 @@ def _gather_from_bcs_int8(bcs, w, sublanes):
 def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                    tv, tt, *, cfg: TopKSpMVConfig, num_groups: int,
                    width: int, slices_per_block: int, slice_base: int,
-                   codec: str = "f32"):
+                   codec: str = "f32", mask_lanes: bool = True):
     """Uniform-W bucket kernel: zero dynamic control flow in the hot loop.
 
     Slice boundaries are static (every `width` sublanes), so the row
@@ -182,12 +186,11 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
            for c in range(tab_ref.shape[0])]
     gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
 
-    for j in range(slices_per_block):
+    def do_slice(j):
         acc = jnp.zeros((S, LANES), jnp.float32)
         for u in range(width // S):
-            s = j * (width // S) + u
-            w = words_ref[s * S:(s + 1) * S, :]
-            acc += _decode_val(w) * gather(bcs, w, S)
+            w = words_ref[pl.ds(j * width + u * S, S), :]
+            acc += _decode_val(w) * gather(bcs, w, S, mask_lanes)
         score = jnp.sum(acc, axis=0, keepdims=True)          # (1, 128)
         t = slice_base + i * slices_per_block + j
         # Block-padding slices (t beyond the bucket's real count — a
@@ -196,6 +199,18 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         # -inf (scalar compare, branch-free).
         score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
         _topk_update(tv, tt, score, t, K)
+
+    # Full unrolling of many-slice blocks explodes Mosaic compile time
+    # (remote compiles cost tens of seconds); loop when the body is big.
+    if slices_per_block * max(width // S, 1) <= 64:
+        for j in range(slices_per_block):
+            do_slice(j)
+    else:
+        def body(j, _):
+            do_slice(j)
+            return 0
+
+        jax.lax.fori_loop(0, slices_per_block, body, 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -207,7 +222,7 @@ def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
                          cfg: TopKSpMVConfig, width: int,
                          slices_per_block: int, slice_base: int,
                          num_real: int, codec: str, num_queries: int,
-                         table_rows: int):
+                         table_rows: int, mask_lanes: bool = True):
     """Multi-query bucket kernel: the matrix block is decoded once per
     sub-chunk and all queries' gathers share it (the SpMM analog of
     multi_spmv_gold, gold_algorithms.hpp:21-35 — here the batch amortizes
@@ -231,14 +246,13 @@ def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
     ]
     gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
 
-    for j in range(slices_per_block):
+    def do_slice(j):
         accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
         for u in range(width // S):
-            s = j * (width // S) + u
-            w = words_ref[s * S:(s + 1) * S, :]
+            w = words_ref[pl.ds(j * width + u * S, S), :]
             val = _decode_val(w)
             for q in range(Q):
-                accs[q] = accs[q] + val * gather(bcs_q[q], w, S)
+                accs[q] = accs[q] + val * gather(bcs_q[q], w, S, mask_lanes)
         t = slice_base + i * slices_per_block + j
         for q in range(Q):
             score = jnp.sum(accs[q], axis=0, keepdims=True)
@@ -252,6 +266,18 @@ def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
             replace = (iota == slot) & (score >= cur_min)
             tv[q] = jnp.where(replace, score, cur)
             tt[q] = jnp.where(replace, t, tt[q])
+
+    # Cap compile size: unroll small blocks, loop big ones (see
+    # _bucket_kernel).
+    if slices_per_block * max(width // S, 1) * Q <= 128:
+        for j in range(slices_per_block):
+            do_slice(j)
+    else:
+        def body(j, _):
+            do_slice(j)
+            return 0
+
+        jax.lax.fori_loop(0, slices_per_block, body, 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -278,6 +304,7 @@ def topk_spmv_bucket_batch_device(
         _bucket_kernel_batch, cfg=cfg, width=width,
         slices_per_block=slices_per_block, slice_base=slice_base,
         num_real=num_real, codec=codec, num_queries=Q, table_rows=TR,
+        mask_lanes=interpret,
     )
     return pl.pallas_call(
         kernel,
@@ -326,7 +353,7 @@ def topk_spmv_bucket_device(
     kernel = functools.partial(
         _bucket_kernel, cfg=cfg, num_groups=num_groups, width=width,
         slices_per_block=slices_per_block, slice_base=slice_base,
-        codec=codec,
+        codec=codec, mask_lanes=interpret,
     )
     return pl.pallas_call(
         kernel,

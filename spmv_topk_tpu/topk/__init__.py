@@ -1,0 +1,1 @@
+from .merge import finalize_topk, merge_candidates_host

@@ -1,0 +1,58 @@
+"""Profiling / tracing helpers.
+
+The reference instruments every phase with std::chrono timers and OpenCL
+event profiling (opencl_utils.hpp:331-361). The TPU equivalents:
+
+  - `phase_timer`: wall-clock phase timing (host-side phases: pack, put).
+  - `device_trace`: jax.profiler trace context (open in TensorBoard /
+    xprof to see kernel timelines, DMA overlap, HBM utilization).
+  - `timed_slope`: the tunnel-safe device timing used by bench.py —
+    slope between short and long on-device iteration counts.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+@contextlib.contextmanager
+def phase_timer(name: str, sink: dict | None = None, verbose: bool = False):
+    t0 = time.perf_counter()
+    yield
+    dt = time.perf_counter() - t0
+    if sink is not None:
+        sink[name] = dt
+    if verbose:
+        print(f"[{name}] {dt * 1e3:.2f} ms")
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timed_slope(run_n, short: int, long_: int, reps: int = 3) -> float:
+    """Per-iteration device time from the slope of two chained run lengths.
+
+    run_n(n) must execute n chained device iterations and block until the
+    result is on host (np.asarray). Returns seconds per iteration.
+    """
+    run_n(short)
+    run_n(long_)
+
+    def best(n):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_n(n)
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return (best(long_) - best(short)) / (long_ - short)
