@@ -211,6 +211,31 @@ class TopKSpMV:
             val_all.append(vals[:n_real])
         return jnp.concatenate(idx_all), jnp.concatenate(val_all)
 
+    def scores(self, vec) -> np.ndarray:
+        """Full dense result A @ vec in original row order (no Top-K).
+
+        The plain-SpMV path, parity with the reference's SpMV-only hosts
+        (host_spmv_csr_gpu.cu). Materializes N floats — prefer query()
+        for similarity lookup."""
+        if self.config.layout != "bucketed":
+            raise NotImplementedError("scores() requires the bucketed layout")
+        from .ops.kernel import spmv_bucket_scores_device
+
+        table, scale = self._table(vec)
+        out = np.empty(self.num_rows, np.float32)
+        row_ids = self.sell.row_ids
+        for bw, b in zip(self._bwords, self.sell.buckets):
+            s = np.asarray(spmv_bucket_scores_device(
+                bw, table, cfg=self.config, interpret=self._interpret,
+                codec=self.config.query_codec, width=b.width,
+                slices_per_block=b.slices_per_block,
+                num_blocks=b.num_blocks,
+            ))[: b.num_slices]
+            ids = row_ids[b.slice_base:b.slice_base + b.num_slices]
+            real = ids >= 0
+            out[ids[real]] = s[real] * scale
+        return out
+
     # -- accounting ---------------------------------------------------------
 
     @property

@@ -218,6 +218,69 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         topt_ref[:] = tt[:]
 
 
+def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,
+                          cfg: TopKSpMVConfig, width: int,
+                          slices_per_block: int,
+                          codec: str = "f32", mask_lanes: bool = True):
+    """Plain SpMV over a bucket: per-slice dense scores, no Top-K.
+
+    Parity with the reference's SpMV-only baselines (the GPU hosts that
+    compute the full result vector, host_spmv_csr_gpu.cu) and the building
+    block for users who want raw scores."""
+    S = cfg.chunk_sublanes
+    shape = (S, LANES)
+    bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
+           for c in range(tab_ref.shape[0])]
+    gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
+
+    def do_slice(j):
+        acc = jnp.zeros((S, LANES), jnp.float32)
+        for u in range(width // S):
+            w = words_ref[pl.ds(j * width + u * S, S), :]
+            acc += _decode_val(w) * gather(bcs, w, S, mask_lanes)
+        out_ref[j, :] = jnp.sum(acc, axis=0)
+
+    if slices_per_block * max(width // S, 1) <= 64:
+        for j in range(slices_per_block):
+            do_slice(j)
+    else:
+        jax.lax.fori_loop(
+            0, slices_per_block, lambda j, c: (do_slice(j), c)[1], 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "width", "slices_per_block", "num_blocks",
+                     "interpret", "codec"),
+)
+def spmv_bucket_scores_device(
+    words, table, *, cfg: TopKSpMVConfig, width: int, slices_per_block: int,
+    num_blocks: int, interpret: bool = False, codec: str = "f32",
+):
+    """Dense per-slice scores for one bucket: (num_blocks*spb, 128) f32."""
+    block_sub = width * slices_per_block
+    kernel = functools.partial(
+        _bucket_scores_kernel, cfg=cfg, width=width,
+        slices_per_block=slices_per_block, codec=codec,
+        mask_lanes=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sub, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((slices_per_block, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_blocks * slices_per_block, LANES), jnp.float32),
+        interpret=interpret,
+    )(table, words)
+
+
 def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
                          cfg: TopKSpMVConfig, width: int,
                          slices_per_block: int, slice_base: int,

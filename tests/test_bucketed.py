@@ -101,3 +101,17 @@ def test_query_batch_grouped_kernel():
         si, sv = map(np.asarray, eng.query(Q[qi], k=15))
         assert _precision(si, bi[qi]) == 1.0
         np.testing.assert_allclose(np.sort(bv[qi]), np.sort(sv), atol=1e-6)
+
+
+def test_scores_plain_spmv():
+    from spmv_topk_tpu.ops.gold import spmv_exact
+    from spmv_topk_tpu.ops.fixedpoint import quantize_bf16
+
+    coo = create_sparse_matrix(900, 256, 10, "gamma", seed=58)
+    qcoo = CooMatrix(coo.rows, coo.cols, quantize_bf16(coo.vals),
+                     coo.num_rows, coo.num_cols)
+    cfg = TopKSpMVConfig(max_cols=256, block_sublanes=64)
+    eng = TopKSpMV(coo, cfg)
+    q = create_sample_vector(256, seed=59)
+    s = eng.scores(q)
+    np.testing.assert_allclose(s, spmv_exact(qcoo, q), atol=1e-5)
