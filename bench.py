@@ -27,6 +27,10 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+from spmv_topk_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 from spmv_topk_tpu.api import TopKSpMV
 from spmv_topk_tpu.config import LANES, TopKSpMVConfig
 from spmv_topk_tpu.formats import create_sparse_matrix, create_query_batch

@@ -1,0 +1,28 @@
+"""Quickstart: build an engine from a synthetic corpus and query it."""
+
+import numpy as np
+
+import spmv_topk_tpu as st
+from spmv_topk_tpu.formats import create_sparse_matrix, create_sample_vector
+
+# 1M sparse embeddings, 1024 dims, ~20 nnz each (gamma-skewed degrees)
+corpus = create_sparse_matrix(1_000_000, 1024, 20, "gamma", seed=0)
+
+# Build once: packs to the TPU layout and leaves the matrix HBM-resident.
+engine = st.TopKSpMV(corpus, st.TopKSpMVConfig(k=100))
+
+# Query many times (the reference's reset() loop, for free).
+for i in range(3):
+    q = create_sample_vector(1024, seed=i)
+    idx, vals = engine.query(q)
+    print(f"query {i}: top-5 rows {np.asarray(idx)[:5]} "
+          f"scores {np.asarray(vals)[:5].round(4)}")
+
+# Batched queries amortize the matrix stream (SpMM path).
+batch = np.stack([create_sample_vector(1024, seed=10 + i) for i in range(16)])
+idx, vals = engine.query_batch(batch)
+print("batch:", np.asarray(idx).shape)
+
+# Fast approximate mode: int8-quantized query table, ~2x faster sweep.
+fast = st.TopKSpMV(corpus, st.TopKSpMVConfig(k=100, query_codec="int8x4"))
+print("fast top-5:", np.asarray(fast.query(create_sample_vector(1024, seed=0))[0])[:5])

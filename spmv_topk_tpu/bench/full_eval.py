@@ -1,0 +1,148 @@
+"""Full BASELINE.json evaluation: runs the named configurations and writes
+RESULTS.json + RESULTS.md at the repo root.
+
+Configs (BASELINE.json):
+  1. matrix_10000_1024_20_gamma-style exact CPU oracle check
+  2. 1M x 1024 gamma, bf16, single chip (the bench.py headline)
+  3. 10M x 1024, reduced precision, K=100, single host
+  4. row-sharded multi-device + batched queries (functional validation on
+     a virtual mesh when only one chip is available)
+  5. serving loop: latency percentiles + recall@10/@100
+
+Usage: python -m spmv_topk_tpu.bench.full_eval [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+import numpy as np
+
+from ..api import TopKSpMV
+from ..config import TopKSpMVConfig
+from ..eval import metrics
+from ..formats.synthetic import create_sparse_matrix, create_query_batch
+from ..ops.gold import topk_exact
+from ..utils.profiling import timed_slope
+from .service import run_service
+
+BASELINE_GNNZ = 76.9
+
+
+def _throughput(eng, coo, nq=22):
+    tabs = jnp.stack([
+        eng._table(q)[0]
+        for q in create_query_batch(nq, coo.num_cols, seed=2)
+    ])
+
+    @jax.jit
+    def run(tabs):
+        def step(c, tab):
+            tv, tt = eng.candidates_traceable(tab)
+            return c, (tv.max(), tt.max())
+        return jax.lax.scan(step, 0, tabs)[1]
+
+    per = timed_slope(lambda n: np.asarray(jax.tree.leaves(run(tabs[:n]))[0]),
+                      2, nq)
+    return per
+
+
+def _accuracy(eng, coo, k=100, trials=3):
+    precs, ndcgs, taus = [], [], []
+    for t in range(trials):
+        q = create_query_batch(1, coo.num_cols, seed=50 + t)[0]
+        ki, _ = map(np.asarray, eng.query(q, k))
+        gi, _ = topk_exact(coo, q, k)
+        precs.append(metrics.precision_at_k(gi, ki))
+        ndcgs.append(metrics.ndcg(gi, ki))
+        taus.append(metrics.kendall_tau(gi, ki))
+    return dict(precision=float(np.mean(precs)), ndcg=float(np.mean(ndcgs)),
+                kendall_tau=float(np.mean(taus)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="shrink matrices ~10x for a quick pass")
+    args = ap.parse_args(argv)
+    scale = 10 if args.small else 1
+    results = {"device": str(jax.devices()[0]), "configs": {}}
+
+    # config 1: small-matrix exact oracle agreement (CPU gold protocol)
+    coo = create_sparse_matrix(10_000, 1024, 20, "gamma", seed=1)
+    eng = TopKSpMV(coo, TopKSpMVConfig(k=100))
+    results["configs"]["c1_small_oracle"] = _accuracy(eng, coo)
+
+    # config 2: 1M x 1024 gamma bf16 single chip, both codecs
+    coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
+    for codec in ("f32", "int8x4"):
+        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec=codec))
+        per = _throughput(eng, coo)
+        acc = _accuracy(eng, coo)
+        results["configs"][f"c2_1M_bf16_{codec}"] = dict(
+            per_query_ms=round(per * 1e3, 3),
+            gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
+            hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
+            vs_fpga_baseline=round(coo.nnz / per / 1e9 / BASELINE_GNNZ, 3),
+            padding=round(eng.sell.padding_ratio, 3), **acc)
+
+    # config 3: 10M x 1024 reduced precision K=100 single host
+    t0 = time.time()
+    coo = create_sparse_matrix(10_000_000 // scale, 1024, 20, "gamma", seed=1)
+    gen_s = time.time() - t0
+    t0 = time.time()
+    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="int8x4"))
+    pack_s = time.time() - t0
+    per = _throughput(eng, coo, nq=8)
+    acc = _accuracy(eng, coo, trials=1)
+    results["configs"]["c3_10M_int8x4"] = dict(
+        per_query_ms=round(per * 1e3, 3),
+        gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
+        hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
+        nnz=coo.nnz, pack_seconds=round(pack_s, 1),
+        gen_seconds=round(gen_s, 1), **acc)
+    del eng, coo
+
+    # config 4: batched queries (the multi-device variant is validated by
+    # __graft_entry__.dryrun_multichip; here: the batched kernel path)
+    coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
+    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="int8x4"))
+    G = 8
+    groups = [jnp.stack([eng._table(q)[0] for q in
+                         create_query_batch(G, 1024, seed=100 + s)])
+              for s in range(10)]
+    tabs = jnp.stack(groups)
+
+    @jax.jit
+    def runb(tabs):
+        def step(c, tab):
+            tv, tt = eng.batch_candidates_traceable(tab)
+            return c, tv.max()
+        return jax.lax.scan(step, 0, tabs)[1]
+
+    perg = timed_slope(lambda n: np.asarray(runb(tabs[:n])), 2, 10)
+    results["configs"]["c4_batched_8q"] = dict(
+        per_group_ms=round(perg * 1e3, 3),
+        per_query_ms=round(perg / G * 1e3, 3),
+        aggregate_gnnz_per_sec=round(coo.nnz * G / perg / 1e9, 2))
+
+    # config 5: serving loop
+    stats = run_service(eng, coo, num_batches=10, batch_size=G, k=100,
+                        oracle_every=5)
+    results["configs"]["c5_service"] = stats
+
+    with open("RESULTS.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results["configs"], indent=1))
+
+
+if __name__ == "__main__":
+    main()

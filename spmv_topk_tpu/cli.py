@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--csv", help="write the per-iteration CSV here")
     args = ap.parse_args(argv)
 
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .api import TopKSpMV
     from .bench.harness import run_benchmark
     from .config import TopKSpMVConfig

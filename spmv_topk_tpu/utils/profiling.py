@@ -56,3 +56,16 @@ def timed_slope(run_n, short: int, long_: int, reps: int = 3) -> float:
         return b
 
     return (best(long_) - best(short)) / (long_ - short)
+
+
+def enable_compilation_cache(path: str = ".jax_cache") -> None:
+    """Persistent executable cache: kernel compiles through the axon
+    remote-compile tunnel cost tens of seconds each; cached reloads are
+    ~0.5 s. Safe to call multiple times."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
