@@ -152,12 +152,12 @@ class TopKSpMV:
         from .ops.kernel import topk_spmv_bucket_batch_device
 
         tvs, tts = [], []
-        for bw, b in zip(self._bwords, self.sell.buckets):
+        for bw, nr, b in zip(self._bwords, self._bnreal, self.sell.buckets):
             tv, tt = topk_spmv_bucket_batch_device(
-                bw, tables, cfg=self.config, interpret=self._interpret,
+                bw, tables, nr, cfg=self.config, interpret=self._interpret,
                 codec=self.config.query_codec, width=b.width,
                 slices_per_block=b.slices_per_block,
-                slice_base=b.slice_base, num_real=b.num_slices,
+                slice_base=b.slice_base,
                 num_blocks=b.num_blocks,
             )
             tvs.append(tv)

@@ -291,10 +291,10 @@ def spmv_bucket_scores_device(
     )(table, words)
 
 
-def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
-                         cfg: TopKSpMVConfig, width: int,
+def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
+                         tv, tt, *, cfg: TopKSpMVConfig, width: int,
                          slices_per_block: int, slice_base: int,
-                         num_real: int, codec: str, num_queries: int,
+                         codec: str, num_queries: int,
                          table_rows: int, mask_lanes: bool = True):
     """Multi-query bucket kernel: the matrix block is decoded once per
     sub-chunk and all queries' gathers share it (the SpMM analog of
@@ -329,7 +329,7 @@ def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
         t = slice_base + i * slices_per_block + j
         for q in range(Q):
             score = jnp.sum(accs[q], axis=0, keepdims=True)
-            score = jnp.where(t < slice_base + num_real, score, NEG_INF)
+            score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
             # per-query Top-K buffers live at tv[q], tt[q]
             cur = tv[q]
             cur_min = jnp.min(cur, axis=0, keepdims=True)
@@ -361,28 +361,30 @@ def _bucket_kernel_batch(tab_ref, words_ref, topv_ref, topt_ref, tv, tt, *,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "width", "slices_per_block", "slice_base",
-                     "num_real", "num_blocks", "interpret", "codec"),
+                     "num_blocks", "interpret", "codec"),
 )
 def topk_spmv_bucket_batch_device(
-    words, tables, *, cfg: TopKSpMVConfig, width: int,
-    slices_per_block: int, slice_base: int, num_real: int, num_blocks: int,
+    words, tables, num_real, *, cfg: TopKSpMVConfig, width: int,
+    slices_per_block: int, slice_base: int, num_blocks: int,
     interpret: bool = False, codec: str = "f32",
 ):
-    """Batched bucket kernel. tables: (Q, table_rows, 128); returns
-    (topv, topt) of (Q, lane_k, 128)."""
+    """Batched bucket kernel. tables: (Q, table_rows, 128); num_real a
+    (1, 1) int32 array; returns (topv, topt) of (Q, lane_k, 128)."""
     Q, TR, _ = tables.shape
     K = cfg.lane_k
     block_sub = width * slices_per_block
     kernel = functools.partial(
         _bucket_kernel_batch, cfg=cfg, width=width,
         slices_per_block=slices_per_block, slice_base=slice_base,
-        num_real=num_real, codec=codec, num_queries=Q, table_rows=TR,
+        codec=codec, num_queries=Q, table_rows=TR,
         mask_lanes=interpret,
     )
     return pl.pallas_call(
         kernel,
         grid=(num_blocks,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((Q * TR, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_sub, LANES), lambda i: (i, 0),
@@ -403,7 +405,7 @@ def topk_spmv_bucket_batch_device(
             pltpu.VMEM((Q, K, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(tables.reshape(Q * TR, LANES), words)
+    )(num_real, tables.reshape(Q * TR, LANES), words)
 
 
 @functools.partial(

@@ -201,10 +201,90 @@ class ShardedBucketedTopKSpMV:
             idx, vals = idx[:k], vals[:k]
         return idx, vals
 
-    def query_batch(self, queries, k: Optional[int] = None):
-        outs = [self.query(q, k) for q in np.asarray(queries)]
-        return (jnp.stack([o[0] for o in outs]),
-                jnp.stack([o[1] for o in outs]))
+    def _build_batch_fn(self, group: int):
+        from ..ops.kernel import topk_spmv_bucket_batch_device
+
+        cfg = self.config
+        interpret = self._interpret
+        skeleton = self.skeleton
+        k = cfg.k
+
+        def local_fn(nreal, row_ids, tables, *words):
+            tvs, tts = [], []
+            for bi, (sk, wb) in enumerate(zip(skeleton, words)):
+                tv, tt = topk_spmv_bucket_batch_device(
+                    wb[0], tables, nreal[0, bi], cfg=cfg,
+                    interpret=interpret,
+                    codec=cfg.query_codec, width=sk.width,
+                    slices_per_block=sk.slices_per_block,
+                    slice_base=sk.slice_base,
+                    num_blocks=sk.num_blocks,
+                )
+                tvs.append(tv)
+                tts.append(tt)
+            topv = jnp.stack(tvs, axis=1)       # (Q, buckets, K, 128)
+            topt = jnp.stack(tts, axis=1)
+
+            def resolve(tv_q, tt_q):
+                flat_v = tv_q.reshape(-1)
+                flat_t = jnp.clip(tt_q.reshape(-1), 0, row_ids.shape[1] - 1)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, tv_q.shape, tv_q.ndim - 1).reshape(-1)
+                rows = row_ids[0].reshape(-1)[flat_t * LANES + lane]
+                valid = (rows >= 0) & (flat_v != -jnp.inf)
+                masked = jnp.where(valid, flat_v, -jnp.inf)
+                lv, pos = jax.lax.top_k(masked, min(k, masked.shape[0]))
+                return rows[pos], lv
+
+            lr, lv = jax.vmap(resolve)(topv, topt)      # (Q, k)
+            gr = jax.lax.all_gather(lr, AXIS, axis=1)   # (Q, D, k)
+            gv = jax.lax.all_gather(lv, AXIS, axis=1)
+            fv, fpos = jax.lax.top_k(gv.reshape(gv.shape[0], -1), k)
+            fr = jnp.take_along_axis(gr.reshape(gr.shape[0], -1), fpos, axis=1)
+            return fr[None], fv[None]
+
+        fn = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(P(AXIS), P(AXIS), P()) + tuple(P(AXIS) for _ in skeleton),
+            out_specs=(P(AXIS), P(AXIS)),
+            check_rep=False,
+        )
+
+        @jax.jit
+        def batch_fn(nreal, row_ids, tables, *words):
+            rr, vv = fn(nreal, row_ids, tables, *words)
+            return rr[0], vv[0]
+
+        return batch_fn
+
+    def query_batch(self, queries, k: Optional[int] = None,
+                    group_size: int = 8):
+        """Batched sharded queries: the multi-query kernel runs per shard
+        and the merge gathers (Q, k) candidate pairs per device."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if not hasattr(self, "_batch_fns"):
+            self._batch_fns = {}
+        if group_size not in self._batch_fns:
+            self._batch_fns[group_size] = self._build_batch_fn(group_size)
+        fn = self._batch_fns[group_size]
+
+        idx_all, val_all = [], []
+        for start in range(0, len(queries), group_size):
+            chunk = queries[start:start + group_size]
+            n_real = len(chunk)
+            if n_real < group_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], group_size - n_real, 0)])
+            tabs, scales = zip(*(self._table(q) for q in chunk))
+            idx, vals = fn(self._nreal, self._row_ids,
+                           jnp.stack(tabs), *self._words)
+            vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
+            if k is not None and k < self.config.k:
+                idx, vals = idx[:, :k], vals[:, :k]
+            idx_all.append(idx[:n_real])
+            val_all.append(vals[:n_real])
+        return jnp.concatenate(idx_all), jnp.concatenate(val_all)
 
     @property
     def hbm_bytes(self) -> int:

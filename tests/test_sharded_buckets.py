@@ -45,3 +45,19 @@ def test_sharded_bucketed_equals_single_device():
     di, dv = map(np.asarray, single.query(q))
     assert _precision(di, si) == 1.0
     np.testing.assert_allclose(np.sort(sv), np.sort(dv), atol=1e-6)
+
+
+def test_sharded_bucketed_query_batch():
+    from spmv_topk_tpu.formats import create_query_batch
+
+    mesh = make_mesh(jax.devices()[:4])
+    coo = create_sparse_matrix(3000, 256, 10, "gamma", seed=74)
+    cfg = TopKSpMVConfig(k=25, max_cols=256, block_sublanes=64)
+    eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    Q = create_query_batch(5, 256, seed=75)
+    bi, bv = map(np.asarray, eng.query_batch(Q, group_size=4))
+    assert bi.shape == (5, 25)
+    for qi in range(5):
+        gi, gv = topk_exact(coo, Q[qi], 25)
+        assert _precision(gi, bi[qi]) >= 0.96
+        np.testing.assert_allclose(np.sort(bv[qi]), np.sort(gv), atol=2e-3)
