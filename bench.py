@@ -48,7 +48,7 @@ def main():
     t0 = time.time()
     coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
-                         query_codec="int8x4")
+                         query_codec="i8s")
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
 

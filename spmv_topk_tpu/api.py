@@ -65,17 +65,15 @@ class TopKSpMV:
         self.device = device
 
         if config.layout == "bucketed":
-            from .formats.sell_buckets import pack_sell_buckets
+            from .formats.sell_buckets import pack_sell_buckets, fuse_buckets
 
             self.sell = pack_sell_buckets(matrix, config)
-            self._bwords = [
-                jax.device_put(b.words, device) for b in self.sell.buckets
-            ]
-            self._bnreal = [
-                jax.device_put(np.array([[b.num_slices]], np.int32), device)
-                for b in self.sell.buckets
-            ]
+            self.fused = fuse_buckets(
+                self.sell, block_sublanes=config.fused_block_sublanes)
+            self._fwords = jax.device_put(self.fused.words, device)
+            self._fnreal = jax.device_put(self.fused.nreal, device)
             self._row_ids = jax.device_put(self.sell.row_ids, device)
+            self._bwords_cache = None
 
         elif config.layout == "streamed":
             self.sell = pack_sell(matrix, config)
@@ -88,25 +86,34 @@ class TopKSpMV:
         else:
             raise ValueError(f"unknown layout {config.layout!r}")
 
+    @property
+    def _bwords(self):
+        """Per-bucket device arrays (lazy: only scores()/batch need them)."""
+        if self._bwords_cache is None:
+            self._bwords_cache = [
+                jax.device_put(b.words, self.device)
+                for b in self.sell.buckets
+            ]
+            self._bnreal = [
+                jax.device_put(np.array([[b.num_slices]], np.int32),
+                               self.device)
+                for b in self.sell.buckets
+            ]
+        return self._bwords_cache
+
     def candidates_traceable(self, table):
         """(topv, topt) from a device-resident (num_groups, 128) table;
         safe to call inside jit/scan (the matrix arrays are captured)."""
         if self.config.layout == "bucketed":
-            from .ops.kernel import topk_spmv_bucket_device
+            from .ops.kernel import topk_spmv_fused_device
 
-            tvs, tts = [], []
-            for bw, nr, b in zip(self._bwords, self._bnreal, self.sell.buckets):
-                tv, tt = topk_spmv_bucket_device(
-                    bw, table, nr, cfg=self.config,
-                    interpret=self._interpret,
-                    codec=self.config.query_codec,
-                    num_groups=self.config.max_cols // LANES, width=b.width,
-                    slices_per_block=b.slices_per_block,
-                    slice_base=b.slice_base, num_blocks=b.num_blocks,
-                )
-                tvs.append(tv)
-                tts.append(tt)
-            return jnp.stack(tvs), jnp.stack(tts)
+            return topk_spmv_fused_device(
+                self._fwords, table, self._fnreal, cfg=self.config,
+                plan=self.fused.plan,
+                block_sublanes=self.fused.block_sublanes,
+                num_blocks=self.fused.num_blocks,
+                interpret=self._interpret, codec=self.config.query_codec,
+            )
         return topk_spmv_sell_device(
             self._words, self._meta3d, table,
             cfg=self.config, interpret=self._interpret,
@@ -123,12 +130,10 @@ class TopKSpMV:
             )
         padded = np.zeros(self.config.max_cols, np.float32)
         padded[: self.num_cols] = vec
-        if self.config.query_codec == "int8x4":
-            from .ops.quantized_query import pack_query_int8
+        from .ops.quantized_query import pack_query_table
 
-            tab, scale = pack_query_int8(padded)
-            return jax.device_put(tab, self.device), scale
-        return jax.device_put(padded.reshape(-1, LANES), self.device), 1.0
+        tab, scale = pack_query_table(padded, self.config.query_codec)
+        return jax.device_put(tab, self.device), scale
 
     def candidates(self, vec) -> tuple[jax.Array, jax.Array]:
         """Per-lane Top-K candidates (topv, topt) before the global merge.
@@ -178,6 +183,7 @@ class TopKSpMV:
             outs = [self.query(q, k) for q in queries]
             return (jnp.stack([o[0] for o in outs]),
                     jnp.stack([o[1] for o in outs]))
+        _ = self._bwords  # materialize outside any trace
 
         if not hasattr(self, "_jit_batch"):
             self._jit_batch = jax.jit(self.batch_candidates_traceable)
@@ -221,6 +227,7 @@ class TopKSpMV:
             raise NotImplementedError("scores() requires the bucketed layout")
         from .ops.kernel import spmv_bucket_scores_device
 
+        _ = self._bwords  # materialize outside any trace
         table, scale = self._table(vec)
         out = np.empty(self.num_rows, np.float32)
         row_ids = self.sell.row_ids

@@ -93,6 +93,7 @@ class TopKSpMVConfig:
     block_sublanes: int = 512
     sigma_sort: bool = True
     layout: str = "bucketed"        # "bucketed" (static-W, fast) | "streamed"
+    fused_block_sublanes: int = 1024  # uniform DMA block of the fused kernel
     query_codec: str = "f32"        # "f32" (exact) | "int8x4" (2 gather passes)
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
@@ -103,6 +104,13 @@ class TopKSpMVConfig:
             raise ValueError("block_sublanes must be a multiple of chunk_sublanes")
         if self.slice_height != LANES:
             raise ValueError("slice_height must equal the TPU lane count (128)")
+        if self.query_codec == "i8s" and self.max_cols > 1024:
+            raise ValueError("i8s codec supports max_cols <= 1024 "
+                             "(table-row select is a single sign bit)")
+        if self.query_codec == "i4s" and self.max_cols > 2048:
+            raise ValueError("i4s codec supports max_cols <= 2048")
+        if self.query_codec not in ("f32", "int8x4", "i8s", "i4s"):
+            raise ValueError(f"unknown query codec {self.query_codec!r}")
 
     @property
     def col_groups(self) -> int:

@@ -161,6 +161,42 @@ def _gather_from_bcs_int8(bcs, w, sublanes, mask_lanes=True):
     return (byte - 128).astype(jnp.float32)
 
 
+def _gather_from_bcs_sign(bcs, w, sublanes, mask_lanes=True, *, shift):
+    """vec[col] for the sign-layout codecs (i8s: shift=24, i4s: shift=28).
+
+    The matrix word carries (see encode_words_sign_layout): lane bits at
+    [16:23), a precomputed arithmetic-shift amount at [24:29), and the
+    table-row select in the sign bit. Extraction is 2 shifts + 1 convert —
+    no mask, no debias (table entries are two's-complement)."""
+    lo = jax.lax.shift_right_logical(w, 16)
+    if mask_lanes:  # TPU dynamic_gather wraps mod 128; interpret NaN-fills
+        lo = lo & 0x7F
+    if len(bcs) == 1:
+        sel = jnp.take_along_axis(bcs[0], lo, axis=1)
+    elif len(bcs) == 2:
+        g0 = jnp.take_along_axis(bcs[0], lo, axis=1)
+        g1 = jnp.take_along_axis(bcs[1], lo, axis=1)
+        sel = jnp.where(w < 0, g1, g0)
+    else:
+        raise ValueError("sign-layout codecs support at most 2 table rows")
+    a = jax.lax.shift_right_logical(w, 24) & 31
+    t = jax.lax.shift_left(sel, a)
+    q = jax.lax.shift_right_arithmetic(t, shift)
+    return q.astype(jnp.float32)
+
+
+def _codec_gather(codec: str):
+    if codec == "f32":
+        return _gather_from_bcs
+    if codec == "int8x4":
+        return _gather_from_bcs_int8
+    if codec == "i8s":
+        return functools.partial(_gather_from_bcs_sign, shift=24)
+    if codec == "i4s":
+        return functools.partial(_gather_from_bcs_sign, shift=28)
+    raise ValueError(f"unknown query codec {codec!r}")
+
+
 def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                    tv, tt, *, cfg: TopKSpMVConfig, num_groups: int,
                    width: int, slices_per_block: int, slice_base: int,
@@ -184,7 +220,7 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     shape = (S, LANES)
     bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
            for c in range(tab_ref.shape[0])]
-    gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
+    gather = _codec_gather(codec)
 
     def do_slice(j):
         # Two independent accumulators break the serial add chain so the
@@ -224,6 +260,152 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         topt_ref[:] = tt[:]
 
 
+def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
+                  tv, tt, carry, *, cfg: TopKSpMVConfig, plan: tuple,
+                  block_sublanes: int, codec: str = "f32",
+                  mask_lanes: bool = True):
+    """All buckets in ONE pallas_call: grid = total blocks, one static
+    branch per bucket selected on the block index.
+
+    Launching one kernel per bucket (8 for a 1M-row gamma matrix) spends
+    ~45% of the query in dispatch + pipeline ramp; here the whole matrix
+    is a single uniform-block stream (the analog of the reference's one
+    sweep over all 32 HBM channels, host_spmv_bscsr.cpp:323-352) and the
+    Top-K scratch is shared, so candidates come out already merged across
+    buckets. Wide buckets (width > block) carry a partial row sum across
+    blocks in `carry` scratch — the only loop_3-style stitching left.
+    """
+    i = pl.program_id(0)
+    S = cfg.chunk_sublanes
+    K = cfg.lane_k
+
+    @pl.when(i == 0)
+    def _():
+        tv[:] = jnp.full_like(tv, NEG_INF)
+        tt[:] = jnp.zeros_like(tt)
+        carry[:] = jnp.zeros_like(carry)
+
+    shape = (S, LANES)
+    bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
+           for c in range(tab_ref.shape[0])]
+    gather = _codec_gather(codec)
+
+    for bi, pb in enumerate(plan):
+        W = pb.width
+        spb = pb.slices_per_block
+        bps = pb.blocks_per_slice
+
+        @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
+        def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
+            nreal = nreal_ref[bi, 0]
+            if bps == 1:
+                def do_slice(j):
+                    n_acc = 2 if W // S >= 2 else 1
+                    accs = [jnp.zeros((S, LANES), jnp.float32)
+                            for _ in range(n_acc)]
+                    for u in range(W // S):
+                        w = words_ref[pl.ds(j * W + u * S, S), :]
+                        accs[u % n_acc] = accs[u % n_acc] + \
+                            _decode_val(w) * gather(bcs, w, S, mask_lanes)
+                    acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
+                    score = jnp.sum(acc, axis=0, keepdims=True)
+                    t = pb.slice_base + (i - pb.blk_start) * spb + j
+                    score = jnp.where(t < pb.slice_base + nreal,
+                                      score, NEG_INF)
+                    _topk_update(tv, tt, score, t, K)
+
+                if spb * max(W // S, 1) <= 128:
+                    for j in range(spb):
+                        do_slice(j)
+                else:
+                    jax.lax.fori_loop(
+                        0, spb, lambda j, c: (do_slice(j), c)[1], 0)
+            else:
+                # wide slice: accumulate a partial row sum across bps
+                # blocks; folded at the slice's last block. The final
+                # (short) block may hold fewer than block_sublanes real
+                # sublanes — trailing words are zero-padded, harmless.
+                accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(2)]
+                for u in range(block_sublanes // S):
+                    w = words_ref[pl.ds(u * S, S), :]
+                    accs[u % 2] = accs[u % 2] + \
+                        _decode_val(w) * gather(bcs, w, S, mask_lanes)
+                part = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
+                off = i - pb.blk_start
+                last = (off % bps) == (bps - 1)
+
+                @pl.when(~last)
+                def _():
+                    carry[:] = carry[:] + part
+
+                @pl.when(last)
+                def _():
+                    score = carry[:] + part
+                    carry[:] = jnp.zeros_like(carry)
+                    t = pb.slice_base + off // bps
+                    score = jnp.where(t < pb.slice_base + nreal,
+                                      score, NEG_INF)
+                    _topk_update(tv, tt, score, t, K)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        topv_ref[:] = tv[:]
+        topt_ref[:] = tt[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "interpret", "codec"),
+)
+def topk_spmv_fused_device(
+    words, table, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Whole-matrix fused kernel (all buckets, one call).
+
+    words: (num_blocks * block_sublanes, 128) int32 fused stream.
+    nreal: (num_buckets, 1) int32 real slice count per bucket (dynamic —
+      sharded shards with different fill share one compiled kernel).
+    Returns (topv, topt) of (lane_k, 128): candidates already merged
+    across all buckets.
+    """
+    K = cfg.lane_k
+    kernel = functools.partial(
+        _fused_kernel, cfg=cfg, plan=plan, block_sublanes=block_sublanes,
+        codec=codec, mask_lanes=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((nreal.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, LANES), jnp.float32),
+            pltpu.VMEM((K, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nreal, table, words)
+
+
 def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,
                           cfg: TopKSpMVConfig, width: int,
                           slices_per_block: int,
@@ -237,7 +419,7 @@ def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,
     shape = (S, LANES)
     bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
            for c in range(tab_ref.shape[0])]
-    gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
+    gather = _codec_gather(codec)
 
     def do_slice(j):
         n_acc = 2 if width // S >= 2 else 1
@@ -317,7 +499,7 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
          for c in range(TR)]
         for q in range(Q)
     ]
-    gather = _gather_from_bcs if codec == "f32" else _gather_from_bcs_int8
+    gather = _codec_gather(codec)
 
     def do_slice(j):
         accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]

@@ -41,3 +41,118 @@ def dequantize_query_int8(table: np.ndarray, scale: float, num_cols: int):
     parts = [(t >> (8 * b)) & 0xFF for b in range(4)]
     q = np.stack(parts, axis=1).reshape(-1)[:num_cols]
     return (q.astype(np.int64) - 128) * scale
+
+
+def pack_query_i8s(vec_padded: np.ndarray):
+    """Signed int8x4 table for the 'i8s' codec (sign-layout words).
+
+    Same packing geometry as pack_query_int8 (4 bytes per int32 word, one
+    128-lane row covers 512 columns) but bytes are two's-complement signed:
+    the kernel extracts them with shift-left + arithmetic-shift-right only
+    (no mask, no debias) because the matrix words carry a precomputed
+    shift amount (see encode_words_i8s)."""
+    C = len(vec_padded)
+    scale = float(np.max(np.abs(vec_padded))) / 127.0
+    if scale == 0.0:
+        scale = 1.0
+    q = np.clip(np.round(vec_padded / scale), -127, 127).astype(np.int8)
+    n_rows = -(-C // (4 * LANES))
+    q = np.pad(q, (0, n_rows * 4 * LANES - C)).view(np.uint8).astype(np.uint32)
+    q = q.reshape(n_rows, 4, LANES)
+    table = (
+        q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (q[:, 3] << 24)
+    ).view(np.int32)
+    return table, scale
+
+
+def dequantize_query_i8s(table: np.ndarray, scale: float, num_cols: int):
+    t = table.view(np.uint32)
+    parts = [((t >> (8 * b)) & 0xFF).astype(np.uint8).view(np.int8)
+             for b in range(4)]
+    q = np.stack(parts, axis=1).reshape(-1)[:num_cols]
+    return q.astype(np.int64) * scale
+
+
+def pack_query_i4s(vec_padded: np.ndarray):
+    """Signed int4x8 table for the 'i4s' codec: one 128-lane row covers
+    1024 columns, so any matrix up to max_cols=1024 gathers in a SINGLE
+    take (the cheapest codec; ~4-bit query precision)."""
+    C = len(vec_padded)
+    scale = float(np.max(np.abs(vec_padded))) / 7.0
+    if scale == 0.0:
+        scale = 1.0
+    q = np.clip(np.round(vec_padded / scale), -7, 7).astype(np.int64) & 0xF
+    n_rows = -(-C // (8 * LANES))
+    q = np.pad(q, (0, n_rows * 8 * LANES - C)).reshape(n_rows, 8, LANES)
+    table = sum(
+        (q[:, n].astype(np.uint32) << (4 * n)) for n in range(8)
+    ).view(np.int32)
+    return table, scale
+
+
+def dequantize_query_i4s(table: np.ndarray, scale: float, num_cols: int):
+    t = table.view(np.uint32)
+    parts = []
+    for n in range(8):
+        nib = ((t >> (4 * n)) & 0xF).astype(np.int64)
+        parts.append(np.where(nib >= 8, nib - 16, nib))
+    q = np.stack(parts, axis=1).reshape(-1)[:num_cols]
+    return q * scale
+
+
+def pack_query_table(vec_padded: np.ndarray, codec: str):
+    """(C,)-padded f32 query -> (table rows, score scale) for any codec."""
+    if codec == "f32":
+        return vec_padded.reshape(-1, LANES), 1.0
+    if codec == "int8x4":
+        return pack_query_int8(vec_padded)
+    if codec == "i8s":
+        return pack_query_i8s(vec_padded)
+    if codec == "i4s":
+        return pack_query_i4s(vec_padded)
+    raise ValueError(f"unknown query codec {codec!r}")
+
+
+def validate_codec(codec: str, max_cols: int) -> None:
+    if codec == "i8s" and max_cols > 1024:
+        raise ValueError("i8s codec supports max_cols <= 1024 "
+                         "(table-row select is a single sign bit)")
+    if codec == "i4s" and max_cols > 2048:
+        raise ValueError("i4s codec supports max_cols <= 2048")
+    if codec not in ("f32", "int8x4", "i8s", "i4s"):
+        raise ValueError(f"unknown query codec {codec!r}")
+
+
+def encode_words_sign_layout(words: np.ndarray, codec: str) -> np.ndarray:
+    """Rewrite packed matrix words' high halves for the i8s/i4s codecs.
+
+    Input words are `(col << 16) | bf16_bits`. The sign-layout word moves
+    all per-word gather arithmetic to pack time:
+
+      bits [ 0:16)  bf16 value bits           (unchanged)
+      bits [16:23)  lane = col & 127          (hardware take wraps mod 128,
+                                               so the bits above are free)
+      bits [24:29)  arithmetic-shift amount   (i8s: 24-8*byte_index;
+                                               i4s: 28-4*nibble_index)
+      bit  31       table-row select          (col >= 512 for i8s @1024;
+                                               col >= 1024 for i4s @2048)
+
+    The kernel then needs only: take(s), optional sign-select, one
+    shift-left, one arithmetic-shift-right, one int->float convert.
+    """
+    w = words.view(np.uint32)
+    col = w >> 16
+    val = w & 0xFFFF
+    lane = col & 127
+    if codec == "i8s":
+        sub = (col >> 7) & 3                  # byte within the table word
+        a = 24 - 8 * sub
+        pass_ = (col >> 9) & 1
+    elif codec == "i4s":
+        sub = (col >> 7) & 7                  # nibble within the table word
+        a = 28 - 4 * sub
+        pass_ = (col >> 10) & 1
+    else:
+        raise ValueError(f"not a sign-layout codec: {codec!r}")
+    hi = lane | (a << 8) | (pass_ << 15)
+    return (val | (hi << 16)).view(np.int32)

@@ -181,12 +181,10 @@ class ShardedBucketedTopKSpMV:
         vec = np.asarray(vec, dtype=np.float32)
         padded = np.zeros(self.config.max_cols, np.float32)
         padded[: self.num_cols] = vec
-        if self.config.query_codec == "int8x4":
-            from ..ops.quantized_query import pack_query_int8
+        from ..ops.quantized_query import pack_query_table
 
-            tab, scale = pack_query_int8(padded)
-            return jnp.asarray(tab), scale
-        return jnp.asarray(padded.reshape(-1, LANES)), 1.0
+        tab, scale = pack_query_table(padded, self.config.query_codec)
+        return jnp.asarray(tab), scale
 
     def query(self, vec, k: Optional[int] = None):
         table, scale = self._table(vec)

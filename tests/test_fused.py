@@ -1,0 +1,125 @@
+"""Fused whole-matrix kernel and sign-layout codec tests (interpret mode).
+
+The fused kernel (ops/kernel.py::_fused_kernel) processes every bucket in
+one pallas_call with per-bucket static branches; these tests cover the
+branch select, the wide-slice (width > block) carry stitching, and the
+i8s/i4s codec word layouts against the exact gold
+(the reference's differential-oracle protocol, host_spmv_bscsr.cpp:638-663).
+"""
+
+import numpy as np
+import pytest
+
+from spmv_topk_tpu.api import TopKSpMV
+from spmv_topk_tpu.config import TopKSpMVConfig
+from spmv_topk_tpu.formats import (
+    CooMatrix, create_sparse_matrix, create_sample_vector)
+from spmv_topk_tpu.formats.sell_buckets import pack_sell_buckets, fuse_buckets
+from spmv_topk_tpu.ops.gold import topk_exact
+from spmv_topk_tpu.ops.quantized_query import (
+    pack_query_i8s, dequantize_query_i8s,
+    pack_query_i4s, dequantize_query_i4s,
+    encode_words_sign_layout,
+)
+
+
+def _precision(a, b):
+    a = np.asarray(a).tolist()
+    b = np.asarray(b).tolist()
+    return len(set(a) & set(b)) / len(a)
+
+
+def test_fuse_plan_covers_all_slices():
+    coo = create_sparse_matrix(4000, 512, 16, "gamma", seed=60)
+    m = pack_sell_buckets(coo, TopKSpMVConfig(max_cols=512,
+                                              block_sublanes=128))
+    f = fuse_buckets(m, block_sublanes=128)
+    assert f.num_blocks == sum(p.num_blocks for p in f.plan)
+    assert f.words.shape[0] == f.num_blocks * f.block_sublanes
+    assert int(f.nreal.sum()) == m.num_slices
+    # plan block ranges are contiguous and disjoint
+    blk = 0
+    for p in f.plan:
+        assert p.blk_start == blk
+        blk += p.num_blocks
+    # every real nnz word survives the re-layout
+    nz_src = sum(int(np.count_nonzero(b.words)) for b in m.buckets)
+    assert int(np.count_nonzero(f.words)) == nz_src
+
+
+@pytest.mark.parametrize("codec", ["f32", "i8s", "i4s", "int8x4"])
+def test_fused_engine_vs_exact(codec):
+    coo = create_sparse_matrix(3000, 1024, 14, "gamma", seed=61)
+    cfg = TopKSpMVConfig(k=40, max_cols=1024, query_codec=codec,
+                         block_sublanes=128, fused_block_sublanes=128)
+    eng = TopKSpMV(coo, cfg)
+    q = create_sample_vector(1024, seed=62)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 40)
+    floor = 0.9 if codec == "i4s" else 0.97
+    assert _precision(gi, ki) >= floor
+    tol = 6e-3 if codec == "i4s" else 1e-3
+    assert np.abs(np.sort(kv) - np.sort(gv)).max() < tol
+
+
+def test_fused_wide_slices_span_blocks():
+    """Rows denser than a whole block exercise the carry stitching."""
+    rng = np.random.default_rng(63)
+    rows_l, cols_l, vals_l = [], [], []
+    N, C = 1500, 512
+    for r in range(N):
+        d = 300 if r % 400 == 0 else int(rng.integers(1, 10))
+        cs = rng.choice(C, size=d, replace=False)
+        v = rng.random(d).astype(np.float32)
+        v /= np.linalg.norm(v)
+        rows_l += [r] * d
+        cols_l += cs.tolist()
+        vals_l += v.tolist()
+    coo = CooMatrix(np.array(rows_l, np.int32), np.array(cols_l, np.int32),
+                    np.array(vals_l, np.float32), N, C).sort_row_major()
+    cfg = TopKSpMVConfig(k=30, max_cols=512, block_sublanes=64,
+                         fused_block_sublanes=64)
+    eng = TopKSpMV(coo, cfg)
+    assert any(p.blocks_per_slice > 1 for p in eng.fused.plan), \
+        "test should contain a wide bucket"
+    q = create_sample_vector(C, seed=64)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 30)
+    assert _precision(gi, ki) >= 0.95
+    np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=1e-3)
+
+
+def test_query_i8s_roundtrip():
+    rng = np.random.default_rng(65)
+    q = rng.standard_normal(1024).astype(np.float32)
+    tab, scale = pack_query_i8s(q)
+    assert tab.shape == (2, 128)
+    back = dequantize_query_i8s(tab, scale, 1024)
+    assert np.abs(back - q).max() <= scale / 2 + 1e-7
+
+
+def test_query_i4s_roundtrip():
+    rng = np.random.default_rng(66)
+    q = rng.standard_normal(1024).astype(np.float32)
+    tab, scale = pack_query_i4s(q)
+    assert tab.shape == (1, 128)
+    back = dequantize_query_i4s(tab, scale, 1024)
+    assert np.abs(back - q).max() <= scale / 2 + 1e-7
+
+
+def test_sign_layout_word_encode():
+    """encode_words_sign_layout: value bits kept, lane/shift/pass correct."""
+    cols = np.array([0, 127, 128, 511, 512, 1023], np.uint32)
+    vals = np.arange(1, 7, dtype=np.uint32)  # fake bf16 bit patterns
+    words = ((cols << 16) | vals).view(np.int32)
+    out = encode_words_sign_layout(words, "i8s").view(np.uint32)
+    assert np.all((out & 0xFFFF) == vals)
+    assert np.all(((out >> 16) & 0x7F) == (cols & 127))
+    a = (out >> 24) & 31
+    assert np.all(a == 24 - 8 * ((cols >> 7) & 3))
+    assert np.all((out >> 31) == (cols >> 9))
+
+
+def test_i8s_rejects_wide_matrices():
+    with pytest.raises(ValueError):
+        TopKSpMVConfig(max_cols=2048, query_codec="i8s")
