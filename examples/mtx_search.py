@@ -5,7 +5,12 @@
 
 import sys
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import spmv_topk_tpu as st
 from spmv_topk_tpu.formats import read_mtx, create_sample_vector

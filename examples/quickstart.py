@@ -1,6 +1,11 @@
 """Quickstart: build an engine from a synthetic corpus and query it."""
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import spmv_topk_tpu as st
 from spmv_topk_tpu.formats import create_sparse_matrix, create_sample_vector

@@ -134,10 +134,54 @@ def body_take2sel(tab_ref, w, bcs):
     return _decode_val(w) * vec
 
 
+
+
+def body_i8s(tab_ref, w, bcs):
+    """Production i8s codec: sign-select + precomputed shift, with mask."""
+    lo = jax.lax.shift_right_logical(w, 16)
+    g0 = jnp.take_along_axis(bcs[0], lo, axis=1)
+    g1 = jnp.take_along_axis(bcs[1], lo, axis=1)
+    sel = jnp.where(w < 0, g1, g0)
+    a = jax.lax.shift_right_logical(w, 24) & 31
+    q = jax.lax.shift_right_arithmetic(jax.lax.shift_left(sel, a), 24)
+    return _decode_val(w) * q.astype(jnp.float32)
+
+
+def body_i8s_nomask(tab_ref, w, bcs):
+    """i8s without the &31 (hardware shift wraps mod 32)."""
+    lo = jax.lax.shift_right_logical(w, 16)
+    g0 = jnp.take_along_axis(bcs[0], lo, axis=1)
+    g1 = jnp.take_along_axis(bcs[1], lo, axis=1)
+    sel = jnp.where(w < 0, g1, g0)
+    a = jax.lax.shift_right_logical(w, 24)
+    q = jax.lax.shift_right_arithmetic(jax.lax.shift_left(sel, a), 24)
+    return _decode_val(w) * q.astype(jnp.float32)
+
+
+def body_i8s_int(tab_ref, w, bcs):
+    """Integer accumulate: uint16 fixed value * int8 query, f32 at fold.
+    Returns int32 partial products (caller accumulates as f32 via bitcast
+    trick in this lab we just convert at the end -- here we fake by
+    returning int32-as-float32-bitcast; the lab accumulates f32 adds which
+    costs the same as int32 adds)."""
+    lo = jax.lax.shift_right_logical(w, 16)
+    g0 = jnp.take_along_axis(bcs[0], lo, axis=1)
+    g1 = jnp.take_along_axis(bcs[1], lo, axis=1)
+    sel = jnp.where(w < 0, g1, g0)
+    a = jax.lax.shift_right_logical(w, 24)
+    q = jax.lax.shift_right_arithmetic(jax.lax.shift_left(sel, a), 24)
+    val = w & 0xFFFF
+    prod = val * q
+    return pltpu.bitcast(prod, jnp.float32)
+
+
 VARIANTS = {
     "stream": (body_stream, 1),
     "f32": (body_f32, 8),
     "int8": (body_int8, 2),
+    "i8s": (body_i8s, 2),
+    "i8s_nomask": (body_i8s_nomask, 2),
+    "i8s_int": (body_i8s_int, 2),
     "int8_sign": (body_int8_sign, 2),
     "int8_fbits": (body_int8_fbits, 2),
     "int4": (body_int4, 1),

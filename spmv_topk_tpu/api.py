@@ -153,21 +153,16 @@ class TopKSpMV:
         return idx, vals
 
     def batch_candidates_traceable(self, tables):
-        """(Q, buckets, K, 128) candidates from stacked query tables."""
-        from .ops.kernel import topk_spmv_bucket_batch_device
+        """(Q, K, 128) candidates from stacked (Q, rows, 128) tables."""
+        from .ops.kernel import topk_spmv_fused_batch_device
 
-        tvs, tts = [], []
-        for bw, nr, b in zip(self._bwords, self._bnreal, self.sell.buckets):
-            tv, tt = topk_spmv_bucket_batch_device(
-                bw, tables, nr, cfg=self.config, interpret=self._interpret,
-                codec=self.config.query_codec, width=b.width,
-                slices_per_block=b.slices_per_block,
-                slice_base=b.slice_base,
-                num_blocks=b.num_blocks,
-            )
-            tvs.append(tv)
-            tts.append(tt)
-        return jnp.stack(tvs, axis=1), jnp.stack(tts, axis=1)
+        return topk_spmv_fused_batch_device(
+            self._fwords, tables, self._fnreal, cfg=self.config,
+            plan=self.fused.plan,
+            block_sublanes=self.fused.block_sublanes,
+            num_blocks=self.fused.num_blocks,
+            interpret=self._interpret, codec=self.config.query_codec,
+        )
 
     def query_batch(self, queries, k: Optional[int] = None,
                     group_size: int = 8):
@@ -183,7 +178,6 @@ class TopKSpMV:
             outs = [self.query(q, k) for q in queries]
             return (jnp.stack([o[0] for o in outs]),
                     jnp.stack([o[1] for o in outs]))
-        _ = self._bwords  # materialize outside any trace
 
         if not hasattr(self, "_jit_batch"):
             self._jit_batch = jax.jit(self.batch_candidates_traceable)

@@ -5,7 +5,7 @@ The analog of the reference hosts' CLI (`struct Options`,
 benchmark loop (host_spmv_bscsr.cpp:510-707):
 
   python -m spmv_topk_tpu -m data/matrix.mtx -k 100 -t 30
-  python -m spmv_topk_tpu --synthetic 1000000 1024 20 gamma --codec int8x4
+  python -m spmv_topk_tpu --synthetic 1000000 1024 20 gamma --codec i8s
 
 Flags follow the reference where meaningful: -m matrix, -k top-k
 (default 20, options.hpp:28), -t num tests (default 3), -d debug prints,
@@ -34,7 +34,8 @@ def main(argv=None):
                     help="treat the matrix as pattern (all values 1)")
     ap.add_argument("--layout", default="bucketed",
                     choices=["bucketed", "streamed"])
-    ap.add_argument("--codec", default="f32", choices=["f32", "int8x4"])
+    ap.add_argument("--codec", default="f32",
+                    choices=["f32", "int8x4", "i8s", "i4s"])
     ap.add_argument("--lane-k", type=int, default=8)
     ap.add_argument("--mesh", action="store_true",
                     help="shard across all visible devices")

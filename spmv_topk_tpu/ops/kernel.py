@@ -406,6 +406,155 @@ def topk_spmv_fused_device(
     )(nreal, table, words)
 
 
+def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
+                        tv, tt, carry, *, cfg: TopKSpMVConfig, plan: tuple,
+                        block_sublanes: int, codec: str,
+                        num_queries: int, table_rows: int,
+                        mask_lanes: bool = True):
+    """Multi-query fused kernel: one pallas_call over all buckets AND all
+    queries of a group — each matrix block is decoded once and its HBM
+    traffic is amortized across the Q query tables (the SpMM analog of
+    multi_spmv_gold, gold_algorithms.hpp:21-35)."""
+    i = pl.program_id(0)
+    S = cfg.chunk_sublanes
+    K = cfg.lane_k
+    Q = num_queries
+    TR = table_rows
+
+    @pl.when(i == 0)
+    def _():
+        tv[:] = jnp.full_like(tv, NEG_INF)
+        tt[:] = jnp.zeros_like(tt)
+        carry[:] = jnp.zeros_like(carry)
+
+    shape = (S, LANES)
+    bcs_q = [
+        [jnp.broadcast_to(tab_ref[q * TR + c:q * TR + c + 1, :], shape)
+         for c in range(TR)]
+        for q in range(Q)
+    ]
+    gather = _codec_gather(codec)
+
+    def fold(q, score, t, nreal, slice_base):
+        score = jnp.where(t < slice_base + nreal, score, NEG_INF)
+        cur = tv[q]
+        cur_min = jnp.min(cur, axis=0, keepdims=True)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+        slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
+                       keepdims=True)
+        replace = (iota == slot) & (score >= cur_min)
+        tv[q] = jnp.where(replace, score, cur)
+        tt[q] = jnp.where(replace, t, tt[q])
+
+    for bi, pb in enumerate(plan):
+        W = pb.width
+        spb = pb.slices_per_block
+        bps = pb.blocks_per_slice
+
+        @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
+        def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
+            nreal = nreal_ref[bi, 0]
+            if bps == 1:
+                def do_slice(j):
+                    accs = [jnp.zeros((S, LANES), jnp.float32)
+                            for _ in range(Q)]
+                    for u in range(W // S):
+                        w = words_ref[pl.ds(j * W + u * S, S), :]
+                        val = _decode_val(w)
+                        for q in range(Q):
+                            accs[q] = accs[q] + val * gather(
+                                bcs_q[q], w, S, mask_lanes)
+                    t = pb.slice_base + (i - pb.blk_start) * spb + j
+                    for q in range(Q):
+                        fold(q, jnp.sum(accs[q], axis=0, keepdims=True),
+                             t, nreal, pb.slice_base)
+
+                if spb * max(W // S, 1) * Q <= 256:
+                    for j in range(spb):
+                        do_slice(j)
+                else:
+                    jax.lax.fori_loop(
+                        0, spb, lambda j, c: (do_slice(j), c)[1], 0)
+            else:
+                accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
+                for u in range(block_sublanes // S):
+                    w = words_ref[pl.ds(u * S, S), :]
+                    val = _decode_val(w)
+                    for q in range(Q):
+                        accs[q] = accs[q] + val * gather(
+                            bcs_q[q], w, S, mask_lanes)
+                off = i - pb.blk_start
+                last = (off % bps) == (bps - 1)
+
+                @pl.when(~last)
+                def _():
+                    for q in range(Q):
+                        carry[q] = carry[q] + jnp.sum(accs[q], axis=0)
+
+                @pl.when(last)
+                def _():
+                    t = pb.slice_base + off // bps
+                    for q in range(Q):
+                        score = (carry[q] +
+                                 jnp.sum(accs[q], axis=0))[None, :]
+                        carry[q] = jnp.zeros_like(carry[q])
+                        fold(q, score, t, nreal, pb.slice_base)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        topv_ref[:] = tv[:]
+        topt_ref[:] = tt[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "interpret", "codec"),
+)
+def topk_spmv_fused_batch_device(
+    words, tables, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Fused multi-query kernel. tables: (Q, table_rows, 128); returns
+    (topv, topt) of (Q, lane_k, 128)."""
+    Q, TR, _ = tables.shape
+    K = cfg.lane_k
+    kernel = functools.partial(
+        _fused_kernel_batch, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, codec=codec,
+        num_queries=Q, table_rows=TR, mask_lanes=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((nreal.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Q * TR, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, K, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, K, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, K, LANES), jnp.float32),
+            pltpu.VMEM((Q, K, LANES), jnp.int32),
+            pltpu.VMEM((Q, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nreal, tables.reshape(Q * TR, LANES), words)
+
+
 def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,
                           cfg: TopKSpMVConfig, width: int,
                           slices_per_block: int,

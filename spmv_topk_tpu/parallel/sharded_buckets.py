@@ -30,18 +30,8 @@ from jax.experimental.shard_map import shard_map
 
 from ..config import LANES, TopKSpMVConfig, DEFAULT_CONFIG
 from ..formats.coo import CooMatrix
-from ..formats.sell_buckets import pack_sell_buckets
-from ..ops.kernel import topk_spmv_bucket_device
+from ..formats.sell_buckets import pack_sell_buckets, fuse_buckets
 from .sharded import AXIS, make_mesh
-
-
-@dataclasses.dataclass(frozen=True)
-class _SkeletonBucket:
-    width: int
-    slices_per_block: int
-    num_blocks: int
-    slice_base: int       # common static base in the skeleton numbering
-    max_slices: int
 
 
 class ShardedBucketedTopKSpMV:
@@ -77,49 +67,53 @@ class ShardedBucketedTopKSpMV:
                 raise ValueError(f"shard {d} is empty ({D} devices)")
             packs.append((lo, pack_sell_buckets(local, config)))
 
-        # Common skeleton: widths sorted desc (matching each shard's own
-        # ordering), per-width maxima across shards.
-        by_width: dict[int, dict] = {}
+        # Common skeleton for the fused plan: widths sorted desc (matching
+        # each shard's own ordering), per-width block maxima across shards.
+        # Every device then shares ONE fused word stream layout -> one
+        # compiled kernel under shard_map, with per-device real-slice
+        # counts (nreal) masking the skeleton's padding slices.
+        tgt = config.fused_block_sublanes
+        by_width: dict[int, int] = {}
         for _, m in packs:
-            for b in m.buckets:
-                agg = by_width.setdefault(
-                    b.width, dict(blocks=0, slices=0, spb=b.slices_per_block))
-                agg["blocks"] = max(agg["blocks"], b.num_blocks)
-                agg["slices"] = max(agg["slices"], b.num_slices)
+            f_local = fuse_buckets(m, block_sublanes=tgt)
+            for p in f_local.plan:
+                by_width[p.width] = max(by_width.get(p.width, 0),
+                                        p.num_blocks)
         skeleton = []
         base = 0
         for w in sorted(by_width, reverse=True):
-            agg = by_width[w]
-            skeleton.append(_SkeletonBucket(
-                width=w, slices_per_block=agg["spb"],
-                num_blocks=agg["blocks"], slice_base=base,
-                max_slices=agg["blocks"] * agg["spb"],
-            ))
-            base += skeleton[-1].max_slices
-        self.skeleton = skeleton
+            nb = by_width[w]
+            skeleton.append((w, nb, base))
+            spb = tgt // w if w <= tgt else 1
+            bps = 1 if w <= tgt else -(-w // tgt)
+            base += (nb * spb) if bps == 1 else (nb // bps)
         total_slices = base
 
-        # Device-stacked arrays.
-        words_per_bucket = []
-        nreal = np.zeros((D, len(skeleton), 1, 1), np.int32)
+        # Per-device fused streams conforming to the skeleton.
+        fused = [fuse_buckets(m, block_sublanes=tgt, skeleton=skeleton)
+                 for _, m in packs]
+        self.fused_plan = fused[0].plan
+        self.fused_num_blocks = fused[0].num_blocks
+        self.fused_block_sublanes = tgt
+        nb_words = max(f.words.shape[0] for f in fused)
+        words = np.zeros((D, nb_words, LANES), np.int32)
+        nreal = np.zeros((D, len(self.fused_plan), 1), np.int32)
         row_ids = np.full((D, total_slices + 1, LANES), -1, np.int32)
-        for bi, sk in enumerate(skeleton):
-            block_sub = sk.width * sk.slices_per_block
-            wb = np.zeros((D, sk.num_blocks * block_sub, LANES), np.int32)
-            for d, (row0, m) in enumerate(packs):
-                src = next((b for b in m.buckets if b.width == sk.width), None)
-                if src is None:
-                    continue
-                wb[d, : src.words.shape[0]] = src.words
-                nreal[d, bi, 0, 0] = src.num_slices
-                ids = m.row_ids[src.slice_base:src.slice_base + src.num_slices]
+        for d, ((row0, m), f) in enumerate(zip(packs, fused)):
+            assert f.plan == self.fused_plan, "skeleton plans must agree"
+            words[d, : f.words.shape[0]] = f.words
+            nreal[d, :, 0] = f.nreal[:, 0]
+            for p, n_sl in zip(f.plan, f.nreal[:, 0]):
+                if n_sl == 0:
+                    continue  # this shard has no slices of this width
+                src = next(b for b in m.buckets if b.width == p.width)
+                ids = m.row_ids[src.slice_base:src.slice_base + int(n_sl)]
                 ids = ids.copy()
                 ids[ids >= 0] += row0
-                row_ids[d, sk.slice_base:sk.slice_base + src.num_slices] = ids
-            words_per_bucket.append(wb)
+                row_ids[d, p.slice_base:p.slice_base + int(n_sl)] = ids
 
         spec = jax.sharding.NamedSharding(self.mesh, P(AXIS))
-        self._words = [jax.device_put(w, spec) for w in words_per_bucket]
+        self._words = jax.device_put(words, spec)
         self._nreal = jax.device_put(nreal, spec)
         self._row_ids = jax.device_put(row_ids, spec)
         self._query_fn = self._build_query_fn()
@@ -127,25 +121,21 @@ class ShardedBucketedTopKSpMV:
     # ------------------------------------------------------------------
 
     def _build_query_fn(self):
+        from ..ops.kernel import topk_spmv_fused_device
+
         cfg = self.config
         interpret = self._interpret
-        skeleton = self.skeleton
+        plan = self.fused_plan
+        num_blocks = self.fused_num_blocks
+        block_sub = self.fused_block_sublanes
         k = cfg.k
 
-        def local_fn(nreal, row_ids, table, *words):
-            tvs, tts = [], []
-            for sk, wb in zip(skeleton, words):
-                tv, tt = topk_spmv_bucket_device(
-                    wb[0], table, nreal[0, len(tvs)],
-                    cfg=cfg, interpret=interpret, codec=cfg.query_codec,
-                    num_groups=cfg.max_cols // LANES, width=sk.width,
-                    slices_per_block=sk.slices_per_block,
-                    slice_base=sk.slice_base, num_blocks=sk.num_blocks,
-                )
-                tvs.append(tv)
-                tts.append(tt)
-            topv = jnp.stack(tvs)
-            topt = jnp.stack(tts)
+        def local_fn(nreal, row_ids, table, words):
+            topv, topt = topk_spmv_fused_device(
+                words[0], table, nreal[0], cfg=cfg, plan=plan,
+                block_sublanes=block_sub, num_blocks=num_blocks,
+                interpret=interpret, codec=cfg.query_codec,
+            )
             # resolve to global rows, reduce to local top-k
             flat_v = topv.reshape(-1)
             flat_t = jnp.clip(topt.reshape(-1), 0, row_ids.shape[1] - 1)
@@ -165,14 +155,14 @@ class ShardedBucketedTopKSpMV:
         fn = shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(P(AXIS), P(AXIS), P()) + tuple(P(AXIS) for _ in skeleton),
+            in_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS)),
             check_rep=False,
         )
 
         @jax.jit
-        def query_fn(nreal, row_ids, table, *words):
-            rr, vv = fn(nreal, row_ids, table, *words)
+        def query_fn(nreal, row_ids, table, words):
+            rr, vv = fn(nreal, row_ids, table, words)
             return rr[0], vv[0]
 
         return query_fn
@@ -189,7 +179,7 @@ class ShardedBucketedTopKSpMV:
     def query(self, vec, k: Optional[int] = None):
         table, scale = self._table(vec)
         idx, vals = self._query_fn(
-            self._nreal, self._row_ids, table, *self._words)
+            self._nreal, self._row_ids, table, self._words)
         if scale != 1.0:
             vals = vals * scale
         if k is not None and k != self.config.k:
@@ -200,28 +190,21 @@ class ShardedBucketedTopKSpMV:
         return idx, vals
 
     def _build_batch_fn(self, group: int):
-        from ..ops.kernel import topk_spmv_bucket_batch_device
+        from ..ops.kernel import topk_spmv_fused_batch_device
 
         cfg = self.config
         interpret = self._interpret
-        skeleton = self.skeleton
+        plan = self.fused_plan
+        num_blocks = self.fused_num_blocks
+        block_sub = self.fused_block_sublanes
         k = cfg.k
 
-        def local_fn(nreal, row_ids, tables, *words):
-            tvs, tts = [], []
-            for bi, (sk, wb) in enumerate(zip(skeleton, words)):
-                tv, tt = topk_spmv_bucket_batch_device(
-                    wb[0], tables, nreal[0, bi], cfg=cfg,
-                    interpret=interpret,
-                    codec=cfg.query_codec, width=sk.width,
-                    slices_per_block=sk.slices_per_block,
-                    slice_base=sk.slice_base,
-                    num_blocks=sk.num_blocks,
-                )
-                tvs.append(tv)
-                tts.append(tt)
-            topv = jnp.stack(tvs, axis=1)       # (Q, buckets, K, 128)
-            topt = jnp.stack(tts, axis=1)
+        def local_fn(nreal, row_ids, tables, words):
+            topv, topt = topk_spmv_fused_batch_device(
+                words[0], tables, nreal[0], cfg=cfg, plan=plan,
+                block_sublanes=block_sub, num_blocks=num_blocks,
+                interpret=interpret, codec=cfg.query_codec,
+            )                                    # (Q, K, 128)
 
             def resolve(tv_q, tt_q):
                 flat_v = tv_q.reshape(-1)
@@ -244,14 +227,14 @@ class ShardedBucketedTopKSpMV:
         fn = shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(P(AXIS), P(AXIS), P()) + tuple(P(AXIS) for _ in skeleton),
+            in_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS)),
             check_rep=False,
         )
 
         @jax.jit
-        def batch_fn(nreal, row_ids, tables, *words):
-            rr, vv = fn(nreal, row_ids, tables, *words)
+        def batch_fn(nreal, row_ids, tables, words):
+            rr, vv = fn(nreal, row_ids, tables, words)
             return rr[0], vv[0]
 
         return batch_fn
@@ -276,7 +259,7 @@ class ShardedBucketedTopKSpMV:
                     [chunk, np.repeat(chunk[-1:], group_size - n_real, 0)])
             tabs, scales = zip(*(self._table(q) for q in chunk))
             idx, vals = fn(self._nreal, self._row_ids,
-                           jnp.stack(tabs), *self._words)
+                           jnp.stack(tabs), self._words)
             vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
             if k is not None and k < self.config.k:
                 idx, vals = idx[:, :k], vals[:, :k]
@@ -286,4 +269,4 @@ class ShardedBucketedTopKSpMV:
 
     @property
     def hbm_bytes(self) -> int:
-        return sum(int(np.prod(w.shape)) * 4 for w in self._words)
+        return int(np.prod(self._words.shape)) * 4
