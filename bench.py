@@ -48,7 +48,7 @@ def main():
     t0 = time.time()
     coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
-                         query_codec="i8s")
+                         query_codec="i8s", width_quantum=4)
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
 
@@ -70,9 +70,11 @@ def main():
 
     short, long_ = stream_fn(4), stream_fn(104)
     short(); long_()  # compile + warm
-    ts = min(_timed(short) for _ in range(5))
-    tl = min(_timed(long_) for _ in range(5))
-    per_query = (tl - ts) / 100.0
+    # Interleaved slope pairs: chip/tunnel contention drifts over minutes,
+    # so each slope uses adjacent short/long runs; median rejects outliers.
+    slopes = sorted((_timed(long_) - _timed(short)) / 100.0
+                    for _ in range(5))
+    per_query = slopes[len(slopes) // 2]
 
     # secondary: grouped multi-query kernel (the serving batch path) —
     # each matrix block is decoded once for the whole group.
@@ -102,9 +104,9 @@ def main():
     QB = 16
     bs, bl = batch_fn(2, QB), batch_fn(12, QB)
     bs(); bl()
-    bts = min(_timed(bs) for _ in range(3))
-    btl = min(_timed(bl) for _ in range(3))
-    per_query_batch = (btl - bts) / 10.0 / QB
+    bslopes = sorted((_timed(bl) - _timed(bs)) / 10.0 / QB
+                     for _ in range(3))
+    per_query_batch = bslopes[len(bslopes) // 2]
 
     gnnz = coo.nnz / per_query / 1e9
     hbm_gbps = eng.hbm_bytes / per_query / 1e9
@@ -126,7 +128,7 @@ def main():
         "batch16_gnnz_per_query": round(coo.nnz / per_query_batch / 1e9, 2),
         "batch16_ms_per_query": round(per_query_batch * 1e3, 3),
         "nnz": coo.nnz,
-        "padding_ratio": round(eng.sell.padding_ratio, 3),
+        "padding_ratio": round(eng.fused.padding_ratio, 3),
         "pack_seconds": round(pack_s, 1),
         "backend": jax.default_backend(),
     }))

@@ -86,9 +86,81 @@ class TopKSpMV:
         else:
             raise ValueError(f"unknown layout {config.layout!r}")
 
+    def save(self, path: str) -> None:
+        """Persist the packed engine (fused stream + plan + config).
+
+        The reference re-packs the matrix on every process start (SpMV
+        ctor, host_spmv_bscsr.cpp:104-125); here packing a 20M-nnz corpus
+        costs ~15 s, so serving deployments pack once and `load()` in the
+        time it takes to mmap + device_put the stream."""
+        import dataclasses
+        import json
+
+        if self.config.layout != "bucketed":
+            raise NotImplementedError("save() requires the bucketed layout")
+        f = self.fused
+        plan_arr = np.array(
+            [[p.width, p.slices_per_block, p.blocks_per_slice,
+              p.slice_base, p.blk_start, p.num_blocks] for p in f.plan],
+            np.int64)
+        cfg = dataclasses.asdict(self.config)
+        meta = dict(config=cfg, block_sublanes=f.block_sublanes,
+                    num_blocks=f.num_blocks, num_rows=f.num_rows,
+                    num_cols=f.num_cols, num_nnz=f.num_nnz,
+                    format_version=1)
+        np.savez(path, words=f.words, nreal=f.nreal, row_ids=f.row_ids,
+                 plan=plan_arr, meta=np.frombuffer(
+                     json.dumps(meta).encode(), np.uint8))
+
+    @classmethod
+    def load(cls, path: str, device: Optional[jax.Device] = None):
+        """Reconstruct an engine saved with save(). scores() is
+        unavailable on a loaded engine (it needs the per-bucket layout)."""
+        import json
+
+        from .config import TopKSpMVConfig, ValueFormat
+        from .formats.sell_buckets import FusedBucket, FusedSellMatrix
+
+        z = np.load(path)
+        meta = json.loads(bytes(z["meta"]).decode())
+        cfg_d = dict(meta["config"])
+        cfg_d["value_format"] = ValueFormat(**cfg_d["value_format"])
+        config = TopKSpMVConfig(**cfg_d)
+        plan = tuple(
+            FusedBucket(width=int(r[0]), slices_per_block=int(r[1]),
+                        blocks_per_slice=int(r[2]), slice_base=int(r[3]),
+                        blk_start=int(r[4]), num_blocks=int(r[5]))
+            for r in z["plan"])
+        fused = FusedSellMatrix(
+            words=z["words"], plan=plan, nreal=z["nreal"],
+            block_sublanes=meta["block_sublanes"],
+            num_blocks=meta["num_blocks"], row_ids=z["row_ids"],
+            num_rows=meta["num_rows"], num_cols=meta["num_cols"],
+            num_nnz=meta["num_nnz"])
+
+        self = cls.__new__(cls)
+        self.config = config
+        self.num_rows = fused.num_rows
+        self.num_cols = fused.num_cols
+        self.num_nnz = fused.num_nnz
+        self._interpret = _auto_interpret(config)
+        self.device = device or jax.devices()[0]
+        self.sell = None  # per-bucket layout not persisted
+        self.fused = fused
+        self._fwords = jax.device_put(fused.words, self.device)
+        self._fnreal = jax.device_put(fused.nreal, self.device)
+        self._row_ids = jax.device_put(fused.row_ids, self.device)
+        self._bwords_cache = None
+        return self
+
     @property
     def _bwords(self):
-        """Per-bucket device arrays (lazy: only scores()/batch need them)."""
+        """Per-bucket device arrays (lazy: only scores() needs them)."""
+        if self.sell is None:
+            raise NotImplementedError(
+                "this engine was load()ed from a fused snapshot; "
+                "scores() needs the per-bucket layout — rebuild from the "
+                "matrix to use it")
         if self._bwords_cache is None:
             self._bwords_cache = [
                 jax.device_put(b.words, self.device)
@@ -219,6 +291,10 @@ class TopKSpMV:
         for similarity lookup."""
         if self.config.layout != "bucketed":
             raise NotImplementedError("scores() requires the bucketed layout")
+        if self.config.width_quantum != 8:
+            raise NotImplementedError(
+                "scores() requires width_quantum=8 (the per-bucket scores "
+                "kernel folds whole 8-sublane chunks)")
         from .ops.kernel import spmv_bucket_scores_device
 
         _ = self._bwords  # materialize outside any trace
@@ -241,8 +317,11 @@ class TopKSpMV:
 
     @property
     def hbm_bytes(self) -> int:
+        """Bytes actually streamed per query sweep (the fused stream)."""
+        if self.config.layout == "bucketed":
+            return self.fused.hbm_bytes
         return self.sell.hbm_bytes
 
     @property
     def bytes_per_nnz(self) -> float:
-        return self.sell.hbm_bytes / max(self.num_nnz, 1)
+        return self.hbm_bytes / max(self.num_nnz, 1)

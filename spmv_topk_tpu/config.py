@@ -94,6 +94,10 @@ class TopKSpMVConfig:
     sigma_sort: bool = True
     layout: str = "bucketed"        # "bucketed" (static-W, fast) | "streamed"
     fused_block_sublanes: int = 1024  # uniform DMA block of the fused kernel
+    width_quantum: int = 8          # 8, or 4: slice widths in multiples of 4
+    #   (quantum 4 halves width-quantization padding; two adjacent slices
+    #    share a boundary chunk, folded with static sublane splits — fused
+    #    kernels only: scores() requires quantum 8)
     query_codec: str = "f32"        # "f32" (exact) | "int8x4" (2 gather passes)
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
@@ -111,6 +115,8 @@ class TopKSpMVConfig:
             raise ValueError("i4s codec supports max_cols <= 2048")
         if self.query_codec not in ("f32", "int8x4", "i8s", "i4s"):
             raise ValueError(f"unknown query codec {self.query_codec!r}")
+        if self.width_quantum not in (4, 8):
+            raise ValueError("width_quantum must be 4 or 8")
 
     @property
     def col_groups(self) -> int:

@@ -298,21 +298,34 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
         def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
             nreal = nreal_ref[bi, 0]
-            if bps == 1:
+
+            def prod_at(sub):
+                w = words_ref[pl.ds(sub, S), :]
+                return _decode_val(w) * gather(bcs, w, S, mask_lanes)
+
+            def sum_span(sub0, n_chunks, extra=None):
+                """Sum of n_chunks full chunks starting at sublane sub0
+                (dual accumulators), plus an optional (1, 128) extra."""
+                if n_chunks == 0:
+                    return extra if extra is not None \
+                        else jnp.zeros((1, LANES), jnp.float32)
+                n_acc = 2 if n_chunks >= 2 else 1
+                accs = [jnp.zeros((S, LANES), jnp.float32)
+                        for _ in range(n_acc)]
+                for u in range(n_chunks):
+                    accs[u % n_acc] = accs[u % n_acc] + prod_at(sub0 + u * S)
+                acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
+                s = jnp.sum(acc, axis=0, keepdims=True)
+                return s if extra is None else s + extra
+
+            def fold(score, t):
+                score = jnp.where(t < pb.slice_base + nreal, score, NEG_INF)
+                _topk_update(tv, tt, score, t, K)
+
+            if bps == 1 and W % S == 0:
                 def do_slice(j):
-                    n_acc = 2 if W // S >= 2 else 1
-                    accs = [jnp.zeros((S, LANES), jnp.float32)
-                            for _ in range(n_acc)]
-                    for u in range(W // S):
-                        w = words_ref[pl.ds(j * W + u * S, S), :]
-                        accs[u % n_acc] = accs[u % n_acc] + \
-                            _decode_val(w) * gather(bcs, w, S, mask_lanes)
-                    acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
-                    score = jnp.sum(acc, axis=0, keepdims=True)
                     t = pb.slice_base + (i - pb.blk_start) * spb + j
-                    score = jnp.where(t < pb.slice_base + nreal,
-                                      score, NEG_INF)
-                    _topk_update(tv, tt, score, t, K)
+                    fold(sum_span(j * W, W // S), t)
 
                 if spb * max(W // S, 1) <= 128:
                     for j in range(spb):
@@ -320,6 +333,38 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 else:
                     jax.lax.fori_loop(
                         0, spb, lambda j, c: (do_slice(j), c)[1], 0)
+            elif bps == 1:
+                # width_quantum=4 bucket: W = 8m + 4. Adjacent slice pairs
+                # span whole chunks; the shared boundary chunk's top 4
+                # sublanes finish slice 2p, the bottom 4 start slice 2p+1
+                # (static sublane splits — no masks, no dynamic control).
+                H = S // 2
+                full = (W - H) // S
+                t0 = pb.slice_base + (i - pb.blk_start) * spb
+
+                def do_pair(p):
+                    base = p * 2 * W
+                    split = prod_at(base + full * S)
+                    sA = sum_span(
+                        base, full,
+                        jnp.sum(split[:H], axis=0, keepdims=True))
+                    fold(sA, t0 + 2 * p)
+                    sB = sum_span(
+                        base + full * S + S, full,
+                        jnp.sum(split[H:], axis=0, keepdims=True))
+                    fold(sB, t0 + 2 * p + 1)
+
+                if (spb // 2) * (2 * full + 1) <= 128:
+                    for p in range(spb // 2):
+                        do_pair(p)
+                else:
+                    jax.lax.fori_loop(
+                        0, spb // 2, lambda p, c: (do_pair(p), c)[1], 0)
+                if spb % 2 == 1:
+                    # trailing unpaired slice starts chunk-aligned; the 4
+                    # sublanes past its end are block-tail zeros.
+                    j = spb - 1
+                    fold(sum_span(j * W, full + 1), t0 + j)
             else:
                 # wide slice: accumulate a partial row sum across bps
                 # blocks; folded at the slice's last block. The final
@@ -454,20 +499,30 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
         def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
             nreal = nreal_ref[bi, 0]
-            if bps == 1:
-                def do_slice(j):
-                    accs = [jnp.zeros((S, LANES), jnp.float32)
-                            for _ in range(Q)]
-                    for u in range(W // S):
-                        w = words_ref[pl.ds(j * W + u * S, S), :]
-                        val = _decode_val(w)
-                        for q in range(Q):
-                            accs[q] = accs[q] + val * gather(
-                                bcs_q[q], w, S, mask_lanes)
-                    t = pb.slice_base + (i - pb.blk_start) * spb + j
+
+            def prods_at(sub):
+                w = words_ref[pl.ds(sub, S), :]
+                val = _decode_val(w)
+                return [val * gather(bcs_q[q], w, S, mask_lanes)
+                        for q in range(Q)]
+
+            def sums_span(sub0, n_chunks, extras=None):
+                accs = [jnp.zeros((S, LANES), jnp.float32)
+                        for _ in range(Q)]
+                for u in range(n_chunks):
+                    ps = prods_at(sub0 + u * S)
                     for q in range(Q):
-                        fold(q, jnp.sum(accs[q], axis=0, keepdims=True),
-                             t, nreal, pb.slice_base)
+                        accs[q] = accs[q] + ps[q]
+                out = [jnp.sum(a, axis=0, keepdims=True) for a in accs]
+                if extras is not None:
+                    out = [o + e for o, e in zip(out, extras)]
+                return out
+
+            if bps == 1 and W % S == 0:
+                def do_slice(j):
+                    t = pb.slice_base + (i - pb.blk_start) * spb + j
+                    for q, s in enumerate(sums_span(j * W, W // S)):
+                        fold(q, s, t, nreal, pb.slice_base)
 
                 if spb * max(W // S, 1) * Q <= 256:
                     for j in range(spb):
@@ -475,6 +530,38 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 else:
                     jax.lax.fori_loop(
                         0, spb, lambda j, c: (do_slice(j), c)[1], 0)
+            elif bps == 1:
+                # width_quantum=4 pair fold (see _fused_kernel)
+                H = S // 2
+                full = (W - H) // S
+                t0 = pb.slice_base + (i - pb.blk_start) * spb
+
+                def do_pair(p):
+                    base = p * 2 * W
+                    splits = prods_at(base + full * S)
+                    sA = sums_span(
+                        base, full,
+                        [jnp.sum(sp[:H], axis=0, keepdims=True)
+                         for sp in splits])
+                    for q in range(Q):
+                        fold(q, sA[q], t0 + 2 * p, nreal, pb.slice_base)
+                    sB = sums_span(
+                        base + full * S + S, full,
+                        [jnp.sum(sp[H:], axis=0, keepdims=True)
+                         for sp in splits])
+                    for q in range(Q):
+                        fold(q, sB[q], t0 + 2 * p + 1, nreal, pb.slice_base)
+
+                if (spb // 2) * (2 * full + 1) * Q <= 256:
+                    for p in range(spb // 2):
+                        do_pair(p)
+                else:
+                    jax.lax.fori_loop(
+                        0, spb // 2, lambda p, c: (do_pair(p), c)[1], 0)
+                if spb % 2 == 1:
+                    j = spb - 1
+                    for q, s in enumerate(sums_span(j * W, full + 1)):
+                        fold(q, s, t0 + j, nreal, pb.slice_base)
             else:
                 accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
                 for u in range(block_sublanes // S):

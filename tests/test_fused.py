@@ -123,3 +123,58 @@ def test_sign_layout_word_encode():
 def test_i8s_rejects_wide_matrices():
     with pytest.raises(ValueError):
         TopKSpMVConfig(max_cols=2048, query_codec="i8s")
+
+
+@pytest.mark.parametrize("codec", ["f32", "i8s"])
+def test_width_quantum4_pair_fold(codec):
+    """W % 8 == 4 buckets: adjacent slices share a boundary chunk that the
+    kernel splits with static sublane halves; odd slices-per-block leave a
+    trailing unpaired slice read against block-tail zeros."""
+    coo = create_sparse_matrix(20000, 512, 19, "uniform", seed=83)
+    cfg = TopKSpMVConfig(k=50, max_cols=512, query_codec=codec,
+                         width_quantum=4, block_sublanes=128,
+                         fused_block_sublanes=160)
+    eng = TopKSpMV(coo, cfg)
+    assert any(p.width % 8 == 4 for p in eng.fused.plan), \
+        "config should produce a quantum-4 bucket"
+    assert any(p.slices_per_block % 2 == 1 for p in eng.fused.plan), \
+        "config should exercise the trailing unpaired slice"
+    q = create_sample_vector(512, seed=84)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 50)
+    assert _precision(gi, ki) >= 0.96
+    tol = 1e-3 if codec != "f32" else 3e-4
+    assert np.abs(np.sort(kv) - np.sort(gv)).max() < tol
+
+
+def test_width_quantum4_reduces_padding():
+    # large-matrix regime: small blocks so width quantization (not block
+    # tails) dominates the padding, as on production-size corpora
+    coo = create_sparse_matrix(60000, 512, 20, "gamma", seed=85)
+    pads = {}
+    for quantum in (8, 4):
+        cfg = TopKSpMVConfig(max_cols=512, width_quantum=quantum,
+                             block_sublanes=128, fused_block_sublanes=128)
+        eng = TopKSpMV(coo, cfg)
+        pads[quantum] = eng.fused.padding_ratio
+    assert pads[4] < pads[8]
+
+
+def test_save_load_roundtrip(tmp_path):
+    """Packed-engine persistence: identical results after load()."""
+    coo = create_sparse_matrix(5000, 512, 14, "gamma", seed=90)
+    cfg = TopKSpMVConfig(k=40, max_cols=512, query_codec="i8s",
+                         width_quantum=4, block_sublanes=128,
+                         fused_block_sublanes=128)
+    eng = TopKSpMV(coo, cfg)
+    q = create_sample_vector(512, seed=91)
+    i1, v1 = map(np.asarray, eng.query(q))
+    p = str(tmp_path / "eng.npz")
+    eng.save(p)
+    eng2 = TopKSpMV.load(p)
+    assert eng2.config == eng.config
+    i2, v2 = map(np.asarray, eng2.query(q))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(v1, v2)
+    with pytest.raises(NotImplementedError):
+        eng2.scores(q)
