@@ -108,6 +108,39 @@ def main():
                      for _ in range(3))
     per_query_batch = bslopes[len(bslopes) // 2]
 
+    # tertiary: dense-MXU engine (bf16 matmul sweep + approx_max_k) — the
+    # high-throughput serving mode when the dense form fits HBM.
+    from spmv_topk_tpu.ops.dense import DenseTopKSpMV, dense_topk_batch
+
+    deng = DenseTopKSpMV(coo, cfg, hbm_budget_bytes=8 << 30)
+    QD = 64
+
+    def dense_fn(n_groups: int):
+        qss = jnp.stack([
+            jnp.asarray(create_query_batch(QD, NUM_COLS, seed=5 + i))
+            for i in range(n_groups)
+        ])
+
+        @jax.jit
+        def go(A, qss):
+            def step(c, qs):
+                _, v = dense_topk_batch(A, qs, k=K,
+                                        block_rows=deng.block_rows)
+                return c, v.max()
+            _, outs = jax.lax.scan(step, 0, qss)
+            return outs
+
+        return lambda: np.asarray(go(deng._A, qss))
+
+    ds, dl = dense_fn(2), dense_fn(7)
+    ds(); dl()
+    dslopes = sorted((_timed(dl) - _timed(ds)) / 5.0 / QD
+                     for _ in range(3))
+    per_query_dense = dslopes[len(dslopes) // 2]
+    di, _ = map(np.asarray, deng.query_batch(
+        create_query_batch(1, NUM_COLS, seed=3)))
+
+
     gnnz = coo.nnz / per_query / 1e9
     hbm_gbps = eng.hbm_bytes / per_query / 1e9
 
@@ -116,6 +149,7 @@ def main():
     ki, _ = map(np.asarray, eng.query(q))
     gi, _ = topk_exact(coo, q, K)
     precision = len(set(gi.tolist()) & set(ki.tolist())) / K
+    precision_dense = len(set(gi.tolist()) & set(di[0].tolist())) / K
 
     print(json.dumps({
         "metric": "topk_spmv_nnz_throughput",
@@ -127,6 +161,10 @@ def main():
         "precision_at_100": precision,
         "batch16_gnnz_per_query": round(coo.nnz / per_query_batch / 1e9, 2),
         "batch16_ms_per_query": round(per_query_batch * 1e3, 3),
+        "dense_batch64_gnnz_per_query": round(
+            coo.nnz / per_query_dense / 1e9, 2),
+        "dense_batch64_us_per_query": round(per_query_dense * 1e6, 1),
+        "dense_precision_at_100": precision_dense,
         "nnz": coo.nnz,
         "padding_ratio": round(eng.fused.padding_ratio, 3),
         "pack_seconds": round(pack_s, 1),

@@ -11,5 +11,6 @@ from .config import (
     LANES,
 )
 from .api import TopKSpMV
+from .ops.dense import DenseTopKSpMV
 
 __version__ = "0.1.0"

@@ -1,0 +1,55 @@
+"""Dense-MXU batch engine (ops/dense.py) vs the exact gold."""
+
+import numpy as np
+import pytest
+
+import spmv_topk_tpu as st
+from spmv_topk_tpu.config import TopKSpMVConfig
+from spmv_topk_tpu.formats import (
+    create_sparse_matrix, create_query_batch, create_sample_vector)
+from spmv_topk_tpu.ops.dense import densify_bf16
+from spmv_topk_tpu.ops.gold import topk_exact
+
+
+def _precision(a, b):
+    a = np.asarray(a).tolist()
+    b = np.asarray(b).tolist()
+    return len(set(a) & set(b)) / len(a)
+
+
+def test_densify_bf16_roundtrip():
+    coo = create_sparse_matrix(600, 256, 8, "uniform", seed=97)
+    bits = densify_bf16(coo, row_block=200)
+    dense = (bits.astype(np.uint32) << 16).view(np.float32)
+    ref = coo.to_scipy().toarray().astype(np.float32)
+    # truncation to bf16: relative error < 2^-8
+    assert np.abs(dense - ref).max() <= np.abs(ref).max() * 2**-8
+
+
+def test_dense_engine_vs_exact():
+    coo = create_sparse_matrix(5000, 512, 12, "gamma", seed=95)
+    eng = st.DenseTopKSpMV(coo, TopKSpMVConfig(k=40, max_cols=512),
+                           block_rows=2048, hbm_budget_bytes=1 << 30)
+    Q = create_query_batch(4, 512, seed=96)
+    bi, bv = map(np.asarray, eng.query_batch(Q))
+    for i in range(4):
+        gi, gv = topk_exact(coo, Q[i], 40)
+        assert _precision(gi, bi[i]) >= 0.9
+        np.testing.assert_allclose(np.sort(bv[i]), np.sort(gv), atol=5e-3)
+
+
+def test_dense_engine_single_query_parity():
+    coo = create_sparse_matrix(3000, 256, 10, "uniform", seed=98)
+    eng = st.DenseTopKSpMV(coo, TopKSpMVConfig(k=25, max_cols=256),
+                           block_rows=1024, hbm_budget_bytes=1 << 30)
+    q = create_sample_vector(256, seed=99)
+    i1, v1 = map(np.asarray, eng.query(q))
+    gi, _ = topk_exact(coo, q, 25)
+    assert _precision(gi, i1) >= 0.9
+
+
+def test_dense_engine_memory_guard():
+    coo = create_sparse_matrix(3000, 256, 10, "uniform", seed=98)
+    with pytest.raises(ValueError):
+        st.DenseTopKSpMV(coo, TopKSpMVConfig(k=25, max_cols=256),
+                         hbm_budget_bytes=1000)
