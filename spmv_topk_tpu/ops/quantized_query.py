@@ -141,18 +141,25 @@ def encode_words_sign_layout(words: np.ndarray, codec: str) -> np.ndarray:
     shift-left, one arithmetic-shift-right, one int->float convert.
     """
     w = words.view(np.uint32)
-    col = w >> 16
-    val = w & 0xFFFF
-    lane = col & 127
+    # All-uint32 fused forms (the straightforward version upcasts to int64
+    # temporaries and costs ~14 s on a 1M x 1024 corpus slab):
+    #   val|lane  = w & 0x007FFFFF   (val at [0:16), lane = col&127 already
+    #                                 sits at [16:23) because col<<16)
+    #   shift a<<24: i8s byte index at w[23:25) -> a = 24-8*idx
+    #                => 0x18000000 - ((w << 4) & 0x18000000)
+    #                i4s nibble index at w[23:26) -> a = 28-4*idx
+    #                => 0x1C000000 - ((w << 3) & 0x1C000000)
+    #   pass<<31:    i8s col bit 9 = w bit 25 -> (w << 6) & 0x80000000
+    #                i4s col bit 10 = w bit 26 -> (w << 5) & 0x80000000
+    base = w & np.uint32(0x007FFFFF)
     if codec == "i8s":
-        sub = (col >> 7) & 3                  # byte within the table word
-        a = 24 - 8 * sub
-        pass_ = (col >> 9) & 1
+        a = np.uint32(0x18000000) - ((w << np.uint32(4))
+                                     & np.uint32(0x18000000))
+        p = (w << np.uint32(6)) & np.uint32(0x80000000)
     elif codec == "i4s":
-        sub = (col >> 7) & 7                  # nibble within the table word
-        a = 28 - 4 * sub
-        pass_ = (col >> 10) & 1
+        a = np.uint32(0x1C000000) - ((w << np.uint32(3))
+                                     & np.uint32(0x1C000000))
+        p = (w << np.uint32(5)) & np.uint32(0x80000000)
     else:
         raise ValueError(f"not a sign-layout codec: {codec!r}")
-    hi = lane | (a << 8) | (pass_ << 15)
-    return (val | (hi << 16)).view(np.int32)
+    return (base | a | p).view(np.int32)
