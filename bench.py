@@ -125,7 +125,8 @@ def main():
         def go(A, qss):
             def step(c, qs):
                 _, v = dense_topk_batch(A, qs, k=K,
-                                        block_rows=deng.block_rows)
+                                        block_rows=deng.block_rows,
+                                        recall_target=deng.recall_target)
                 return c, v.max()
             _, outs = jax.lax.scan(step, 0, qss)
             return outs

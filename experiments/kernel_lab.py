@@ -39,13 +39,19 @@ def _decode_val(w):
     return pltpu.bitcast(jax.lax.shift_left(w, 16), jnp.float32)
 
 
+FOLD = os.environ.get("LAB_FOLD", "exact")
+
+
 def _topk_update(tv, tt, score, slice_idx):
     cur = tv[:]
     cur_min = jnp.min(cur, axis=0, keepdims=True)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (LANE_K, LANES), 0)
-    slot = jnp.min(jnp.where(cur == cur_min, iota, LANE_K), axis=0,
-                   keepdims=True)
-    replace = (iota == slot) & (score >= cur_min)
+    if FOLD == "fast":
+        replace = (cur == cur_min) & (score >= cur_min)
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (LANE_K, LANES), 0)
+        slot = jnp.min(jnp.where(cur == cur_min, iota, LANE_K), axis=0,
+                       keepdims=True)
+        replace = (iota == slot) & (score >= cur_min)
     tv[:] = jnp.where(replace, score, cur)
     tt[:] = jnp.where(replace, slice_idx, tt[:])
 

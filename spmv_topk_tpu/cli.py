@@ -62,6 +62,9 @@ def main(argv=None):
     cfg = TopKSpMVConfig(
         k=args.k, lane_k=args.lane_k, layout=args.layout,
         query_codec=args.codec, max_cols=max(128, -(-coo.num_cols // 128) * 128),
+        # pattern matrices (-v: all values 1) are tie-heavy: keep the
+        # reference's exact first-of-ties argmin semantics for them
+        tie_safe_topk=args.ignore_values,
     )
     if args.mesh:
         from .parallel.sharded_buckets import ShardedBucketedTopKSpMV

@@ -98,7 +98,11 @@ class TopKSpMVConfig:
     #   (quantum 4 halves width-quantization padding; two adjacent slices
     #    share a boundary chunk, folded with static sublane splits — fused
     #    kernels only: scores() requires quantum 8)
-    query_codec: str = "f32"        # "f32" (exact) | "int8x4" (2 gather passes)
+    query_codec: str = "f32"        # "f32" (exact) | "i8s"/"i4s"/"int8x4"
+    tie_safe_topk: bool = False     # True: keep first-of-ties in the lane
+    #   Top-K buffers (the reference's exact argmin semantics) at ~9% kernel
+    #   cost; False (default) may keep only one of an exactly-tied pair —
+    #   set True for tie-heavy data such as pattern (-v) matrices.
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
     def __post_init__(self):

@@ -83,7 +83,8 @@ class DenseTopKSpMV:
 
     def __init__(self, matrix, config: TopKSpMVConfig = DEFAULT_CONFIG,
                  device: Optional[jax.Device] = None,
-                 block_rows: int = 1 << 17, recall_target: float = 0.98,
+                 block_rows: int = 1 << 17,
+                 recall_target: Optional[float] = None,
                  hbm_budget_bytes: Optional[int] = None):
         if not isinstance(matrix, CooMatrix):
             from ..formats.coo import from_scipy
@@ -94,6 +95,14 @@ class DenseTopKSpMV:
         self.num_cols = matrix.num_cols
         self.num_nnz = matrix.nnz
         self.block_rows = min(block_rows, 1 << 20)
+        if recall_target is None:
+            # the global top-k spreads over the row blocks, so per-block
+            # recall compounds in our favor when there are many blocks —
+            # 0.95 measures ~0.99 precision@100 at 8 blocks and is ~2x
+            # faster than 0.98; few-block (small) corpora need the higher
+            # per-block target.
+            num_blocks = -(-matrix.num_rows // self.block_rows)
+            recall_target = 0.95 if num_blocks >= 4 else 0.98
         self.recall_target = recall_target
         self.device = device or jax.devices()[0]
 

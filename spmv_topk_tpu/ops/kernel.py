@@ -69,19 +69,43 @@ def _gather_query(tab_ref, w, num_groups, sublanes):
     return sel
 
 
-def _topk_update(tv, tt, score, slice_idx, lane_k):
+# Sentinel floor for Top-K buffer initialization: real scores of
+# L2-normalized embeddings are O(1), so anything below this is an
+# unfilled slot (finalize masks on it). The fast fold needs DISTINCT
+# init values per slot (see _topk_init) so the all-tied first update
+# cannot collapse the whole buffer onto one candidate.
+TOPK_FLOOR = -1e38
+
+
+def _topk_init(lane_k):
+    """(lane_k, 128) distinct finite sentinels, all below TOPK_FLOOR."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (lane_k, LANES), 0)
+    return -2.8e38 - iota.astype(jnp.float32) * 1e32
+
+
+def _topk_update(tv, tt, score, slice_idx, lane_k, tie_safe=False):
     """Argmin-replacement update of the per-lane Top-K buffers.
 
     Mirrors update_top_k (gold_algorithms.hpp:249-272) vectorized over 128
     lanes: replace each lane's current-worst slot when score >= worst.
+
+    tie_safe=False (default): replace EVERY slot holding the current min
+    (saves the first-argmin iota chain, ~9% kernel time at narrow widths).
+    With continuous scores min-ties are vanishing; when a new score ties
+    an incumbent that is also the lane min, the incumbent is overwritten —
+    only one of an exactly-tied pair of rows is kept. Set
+    config.tie_safe_topk for tie-heavy data (e.g. pattern matrices).
     """
     cur = tv[:]
     cur_min = jnp.min(cur, axis=0, keepdims=True)                  # (1, 128)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (lane_k, LANES), 0)
-    slot = jnp.min(
-        jnp.where(cur == cur_min, iota, lane_k), axis=0, keepdims=True
-    )                                                               # first argmin
-    replace = (iota == slot) & (score >= cur_min)                  # (lane_k, 128)
+    if tie_safe:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (lane_k, LANES), 0)
+        slot = jnp.min(
+            jnp.where(cur == cur_min, iota, lane_k), axis=0, keepdims=True
+        )                                                           # first argmin
+        replace = (iota == slot) & (score >= cur_min)
+    else:
+        replace = (cur == cur_min) & (score >= cur_min)
     tv[:] = jnp.where(replace, score, cur)
     tt[:] = jnp.where(replace, slice_idx, tt[:])
 
@@ -110,7 +134,7 @@ def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
         def _():
             score = jnp.sum(acc[:], axis=0, keepdims=True)          # (1, 128)
             acc[:] = jnp.zeros_like(acc)
-            _topk_update(tv, tt, score, m >> 1, K)
+            _topk_update(tv, tt, score, m >> 1, K, tie_safe=True)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -240,7 +264,7 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         # compiled kernel) must not displace real candidates: mask to
         # -inf (scalar compare, branch-free).
         score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
-        _topk_update(tv, tt, score, t, K)
+        _topk_update(tv, tt, score, t, K, tie_safe=True)
 
     # Full unrolling of many-slice blocks explodes Mosaic compile time
     # (remote compiles cost tens of seconds); loop when the body is big.
@@ -264,6 +288,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                   tv, tt, carry, *, cfg: TopKSpMVConfig, plan: tuple,
                   block_sublanes: int, codec: str = "f32",
                   mask_lanes: bool = True):
+    tie_safe = cfg.tie_safe_topk
     """All buckets in ONE pallas_call: grid = total blocks, one static
     branch per bucket selected on the block index.
 
@@ -281,7 +306,8 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
     @pl.when(i == 0)
     def _():
-        tv[:] = jnp.full_like(tv, NEG_INF)
+        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
+                 else _topk_init(tv.shape[0]))
         tt[:] = jnp.zeros_like(tt)
         carry[:] = jnp.zeros_like(carry)
 
@@ -320,7 +346,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
             def fold(score, t):
                 score = jnp.where(t < pb.slice_base + nreal, score, NEG_INF)
-                _topk_update(tv, tt, score, t, K)
+                _topk_update(tv, tt, score, t, K, tie_safe=tie_safe)
 
             if bps == 1 and W % S == 0:
                 def do_slice(j):
@@ -456,6 +482,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                         block_sublanes: int, codec: str,
                         num_queries: int, table_rows: int,
                         mask_lanes: bool = True):
+    tie_safe = cfg.tie_safe_topk
     """Multi-query fused kernel: one pallas_call over all buckets AND all
     queries of a group — each matrix block is decoded once and its HBM
     traffic is amortized across the Q query tables (the SpMM analog of
@@ -468,7 +495,8 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
     @pl.when(i == 0)
     def _():
-        tv[:] = jnp.full_like(tv, NEG_INF)
+        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
+                 else jnp.broadcast_to(_topk_init(K), tv.shape))
         tt[:] = jnp.zeros_like(tt)
         carry[:] = jnp.zeros_like(carry)
 
@@ -484,10 +512,13 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         score = jnp.where(t < slice_base + nreal, score, NEG_INF)
         cur = tv[q]
         cur_min = jnp.min(cur, axis=0, keepdims=True)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
-        slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
-                       keepdims=True)
-        replace = (iota == slot) & (score >= cur_min)
+        if tie_safe:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+            slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
+                           keepdims=True)
+            replace = (iota == slot) & (score >= cur_min)
+        else:
+            replace = (cur == cur_min) & (score >= cur_min)
         tv[q] = jnp.where(replace, score, cur)
         tt[q] = jnp.where(replace, t, tt[q])
 
@@ -961,7 +992,7 @@ def finalize_topk(topv, topt, row_ids, k: int):
         jnp.int32, topv.shape, len(topv.shape) - 1
     ).reshape(-1)
     rows = row_ids.reshape(-1)[flat_t * L + lane]
-    valid = (rows >= 0) & (flat_v != NEG_INF)
+    valid = (rows >= 0) & (flat_v > TOPK_FLOOR)
     masked = jnp.where(valid, flat_v, NEG_INF)
     # The candidate pool holds lane_k * 128 * partitions entries; a larger
     # k cannot be served (raise lane_k / partitions to widen the pool).

@@ -31,6 +31,7 @@ from jax.experimental.shard_map import shard_map
 from ..config import LANES, TopKSpMVConfig, DEFAULT_CONFIG
 from ..formats.coo import CooMatrix
 from ..formats.sell_buckets import pack_sell_buckets, fuse_buckets
+from ..ops.kernel import TOPK_FLOOR
 from .sharded import AXIS, make_mesh
 
 
@@ -142,7 +143,7 @@ class ShardedBucketedTopKSpMV:
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, topv.shape, topv.ndim - 1).reshape(-1)
             rows = row_ids[0].reshape(-1)[flat_t * LANES + lane]
-            valid = (rows >= 0) & (flat_v != -jnp.inf)
+            valid = (rows >= 0) & (flat_v > TOPK_FLOOR)
             masked = jnp.where(valid, flat_v, -jnp.inf)
             kk = min(k, masked.shape[0])
             lv, pos = jax.lax.top_k(masked, kk)
@@ -212,7 +213,7 @@ class ShardedBucketedTopKSpMV:
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, tv_q.shape, tv_q.ndim - 1).reshape(-1)
                 rows = row_ids[0].reshape(-1)[flat_t * LANES + lane]
-                valid = (rows >= 0) & (flat_v != -jnp.inf)
+                valid = (rows >= 0) & (flat_v > TOPK_FLOOR)
                 masked = jnp.where(valid, flat_v, -jnp.inf)
                 lv, pos = jax.lax.top_k(masked, min(k, masked.shape[0]))
                 return rows[pos], lv

@@ -178,3 +178,25 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(v1, v2)
     with pytest.raises(NotImplementedError):
         eng2.scores(q)
+
+
+def test_tie_safe_topk_on_tied_scores():
+    """Pattern-style data (all values equal) produces heavy score ties;
+    tie_safe_topk keeps distinct tied rows in the lane buffers where the
+    fast fold may collapse them onto one candidate."""
+    rng = np.random.default_rng(110)
+    n, c, d = 2000, 256, 6
+    rows = np.repeat(np.arange(n, dtype=np.int32), d)
+    cols = np.concatenate(
+        [rng.choice(c, d, replace=False) for _ in range(n)]).astype(np.int32)
+    vals = np.ones(n * d, np.float32)           # pattern: every value 1
+    coo = CooMatrix(rows, cols, vals, n, c).sort_row_major()
+    q = np.ones(c, np.float32)                  # score = d for EVERY row
+    cfg = TopKSpMVConfig(k=64, max_cols=256, tie_safe_topk=True,
+                         block_sublanes=128, fused_block_sublanes=128)
+    eng = TopKSpMV(coo, cfg)
+    idx, vals_out = map(np.asarray, eng.query(q))
+    # all scores tie at d: any 64 distinct rows are correct; the buffers
+    # must not collapse (distinct indices, exact value)
+    assert len(set(idx.tolist())) == 64
+    np.testing.assert_allclose(vals_out, d, atol=1e-5)
