@@ -37,7 +37,7 @@ from .service import run_service
 BASELINE_GNNZ = 76.9
 
 
-def _throughput(eng, coo, nq=22):
+def _throughput(eng, coo, nq=104):
     tabs = jnp.stack([
         eng._table(q)[0]
         for q in create_query_batch(nq, coo.num_cols, seed=2)
@@ -51,7 +51,7 @@ def _throughput(eng, coo, nq=22):
         return jax.lax.scan(step, 0, tabs)[1]
 
     per = timed_slope(lambda n: np.asarray(jax.tree.leaves(run(tabs[:n]))[0]),
-                      2, nq)
+                      4, nq)
     return per
 
 
@@ -81,10 +81,11 @@ def main(argv=None):
     eng = TopKSpMV(coo, TopKSpMVConfig(k=100))
     results["configs"]["c1_small_oracle"] = _accuracy(eng, coo)
 
-    # config 2: 1M x 1024 gamma bf16 single chip, both codecs
+    # config 2: 1M x 1024 gamma bf16 single chip, exact + fast codecs
     coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
-    for codec in ("f32", "int8x4"):
-        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec=codec))
+    for codec in ("f32", "i8s"):
+        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec=codec,
+                                           width_quantum=4))
         per = _throughput(eng, coo)
         acc = _accuracy(eng, coo)
         results["configs"][f"c2_1M_bf16_{codec}"] = dict(
@@ -92,18 +93,19 @@ def main(argv=None):
             gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
             hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
             vs_fpga_baseline=round(coo.nnz / per / 1e9 / BASELINE_GNNZ, 3),
-            padding=round(eng.sell.padding_ratio, 3), **acc)
+            padding=round(eng.fused.padding_ratio, 3), **acc)
 
     # config 3: 10M x 1024 reduced precision K=100 single host
     t0 = time.time()
     coo = create_sparse_matrix(10_000_000 // scale, 1024, 20, "gamma", seed=1)
     gen_s = time.time() - t0
     t0 = time.time()
-    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="int8x4"))
+    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
+                                       width_quantum=4))
     pack_s = time.time() - t0
-    per = _throughput(eng, coo, nq=8)
+    per = _throughput(eng, coo, nq=24)
     acc = _accuracy(eng, coo, trials=1)
-    results["configs"]["c3_10M_int8x4"] = dict(
+    results["configs"]["c3_10M_i8s"] = dict(
         per_query_ms=round(per * 1e3, 3),
         gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
         hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
@@ -114,7 +116,8 @@ def main(argv=None):
     # config 4: batched queries (the multi-device variant is validated by
     # __graft_entry__.dryrun_multichip; here: the batched kernel path)
     coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
-    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="int8x4"))
+    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
+                                       width_quantum=4))
     G = 8
     groups = [jnp.stack([eng._table(q)[0] for q in
                          create_query_batch(G, 1024, seed=100 + s)])
@@ -139,9 +142,57 @@ def main(argv=None):
                         oracle_every=5)
     results["configs"]["c5_service"] = stats
 
+    # config 6: dense-MXU batch engine (when the dense form fits HBM)
+    from ..ops.dense import DenseTopKSpMV, dense_topk_batch
+
+    try:
+        deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=100),
+                             hbm_budget_bytes=8 << 30)
+        QD = 64
+        qss = jnp.stack([
+            jnp.asarray(create_query_batch(QD, 1024, seed=200 + i))
+            for i in range(7)
+        ])
+
+        @jax.jit
+        def rund(A, qss):
+            def step(c, qs):
+                _, v = dense_topk_batch(
+                    A, qs, k=100, block_rows=deng.block_rows,
+                    recall_target=deng.recall_target)
+                return c, v.max()
+            return jax.lax.scan(step, 0, qss)[1]
+
+        perd = timed_slope(
+            lambda n: np.asarray(rund(deng._A, qss[:n])), 2, 7) / QD
+        di, _ = map(np.asarray, deng.query_batch(
+            create_query_batch(1, 1024, seed=51)))
+        gi, _ = topk_exact(coo, np.asarray(
+            create_query_batch(1, 1024, seed=51)[0]), 100)
+        results["configs"]["c6_dense_batch64"] = dict(
+            us_per_query=round(perd * 1e6, 1),
+            gnnz_equiv_per_sec=round(coo.nnz / perd / 1e9, 2),
+            precision=metrics.precision_at_k(gi, di[0]))
+    except ValueError as e:
+        results["configs"]["c6_dense_batch64"] = dict(skipped=str(e))
+
     with open("RESULTS.json", "w") as f:
         json.dump(results, f, indent=2)
+    _write_md(results)
     print(json.dumps(results["configs"], indent=1))
+
+
+def _write_md(results):
+    lines = ["# RESULTS — measured on " + results["device"], "",
+             "Produced by `python -m spmv_topk_tpu.bench.full_eval`. "
+             "FPGA baseline: 76.9 Gnnz/s (BASELINE.md).", ""]
+    for name, cfg in results["configs"].items():
+        lines.append(f"## {name}")
+        for k, v in cfg.items():
+            lines.append(f"- {k}: {v}")
+        lines.append("")
+    with open("RESULTS.md", "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":

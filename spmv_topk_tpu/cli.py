@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--codec", default="f32",
                     choices=["f32", "int8x4", "i8s", "i4s"])
     ap.add_argument("--lane-k", type=int, default=8)
+    ap.add_argument("--engine", default="sparse",
+                    choices=["sparse", "dense"],
+                    help="dense = bf16 MXU sweep + approx_max_k (batched "
+                         "serving; requires the dense form to fit HBM)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard across all visible devices")
     ap.add_argument("--csv", help="write the per-iteration CSV here")
@@ -66,7 +70,13 @@ def main(argv=None):
         # reference's exact first-of-ties argmin semantics for them
         tie_safe_topk=args.ignore_values,
     )
-    if args.mesh:
+    if args.engine == "dense":
+        from .ops.dense import DenseTopKSpMV
+        from .parallel.sharded_dense import ShardedDenseTopKSpMV
+
+        engine = (ShardedDenseTopKSpMV(coo, cfg) if args.mesh
+                  else DenseTopKSpMV(coo, cfg))
+    elif args.mesh:
         from .parallel.sharded_buckets import ShardedBucketedTopKSpMV
 
         engine = ShardedBucketedTopKSpMV(coo, cfg)

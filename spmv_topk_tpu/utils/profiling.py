@@ -38,24 +38,28 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def timed_slope(run_n, short: int, long_: int, reps: int = 3) -> float:
+def timed_slope(run_n, short: int, long_: int, reps: int = 5) -> float:
     """Per-iteration device time from the slope of two chained run lengths.
 
     run_n(n) must execute n chained device iterations and block until the
     result is on host (np.asarray). Returns seconds per iteration.
+
+    Each slope pairs ADJACENT short/long runs (chip/tunnel contention
+    drifts over minutes) and the median of reps rejects outliers; a
+    (long_ - short) under ~50 iterations of a sub-ms kernel is below the
+    dispatch-noise floor — prefer 4/104.
     """
     run_n(short)
     run_n(long_)
 
-    def best(n):
-        b = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run_n(n)
-            b = min(b, time.perf_counter() - t0)
-        return b
+    def once(n):
+        t0 = time.perf_counter()
+        run_n(n)
+        return time.perf_counter() - t0
 
-    return (best(long_) - best(short)) / (long_ - short)
+    slopes = sorted(
+        (once(long_) - once(short)) / (long_ - short) for _ in range(reps))
+    return slopes[len(slopes) // 2]
 
 
 def enable_compilation_cache(path: str = ".jax_cache") -> None:
