@@ -81,9 +81,12 @@ def main(argv=None):
     eng = TopKSpMV(coo, TopKSpMVConfig(k=100))
     results["configs"]["c1_small_oracle"] = _accuracy(eng, coo)
 
-    # config 2: 1M x 1024 gamma bf16 single chip, exact + fast codecs
+    # config 2: 1M x 1024 gamma bf16 single chip, production codecs
+    # (the f32 codec's 8-pass gather x 16 quantum-4 branches is a
+    # pathologically large Mosaic compile through the remote tunnel;
+    # exact-codec accuracy is covered by config 1)
     coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
-    for codec in ("f32", "i8s"):
+    for codec in ("i8s", "i4s"):
         eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec=codec,
                                            width_quantum=4))
         per = _throughput(eng, coo)

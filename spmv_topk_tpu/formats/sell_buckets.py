@@ -198,7 +198,10 @@ def fuse_buckets(m: BucketedSellMatrix, block_sublanes: int = 1024,
                     buf3[nfull, : rem * W] = src3[nfull * spb:].reshape(
                         rem * W, LANES)
             else:
-                buf.reshape(n_sl, bps * tgt, LANES)[:, :W] = src3
+                # skeleton mode may pad nb beyond n_sl*bps: reshape only
+                # the real prefix of the buffer
+                buf[: n_sl * bps * tgt].reshape(
+                    n_sl, bps * tgt, LANES)[:, :W] = src3
         plan.append(FusedBucket(
             width=width, slices_per_block=spb if bps == 1 else 1,
             blocks_per_slice=bps, slice_base=slice_base,

@@ -48,11 +48,14 @@ def densify_bf16(coo: CooMatrix, row_block: int = 1 << 17) -> np.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "block_rows", "recall_target"))
-def dense_topk_batch(A, queries, *, k: int, block_rows: int,
+def dense_topk_batch(A, queries, num_real=None, *, k: int, block_rows: int,
                      recall_target: float = 0.98):
     """Top-k rows of A @ queries.T for a (Q, C) query batch.
 
     A: (N, C) bfloat16, N a multiple of block_rows (zero row padding).
+    num_real: real-row count (scalar, may be traced — the sharded engine
+    passes per-device values); pad rows past it score -inf so their
+    exact-zero dot products cannot displace real negative-scoring rows.
     Returns (indices, values) of shape (Q, k).
     """
     Q = queries.shape[0]
@@ -62,6 +65,10 @@ def dense_topk_batch(A, queries, *, k: int, block_rows: int,
     def step(c, b):
         blk = jax.lax.dynamic_slice_in_dim(A, b * block_rows, block_rows, 0)
         s = jnp.dot(blk, qt, preferred_element_type=jnp.float32)  # (B, Q)
+        if num_real is not None:
+            rows = (b * block_rows
+                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            s = jnp.where(rows < num_real, s, -jnp.inf)
         v, i = jax.lax.approx_max_k(s.T, k, recall_target=recall_target)
         return c, (v, i + b * block_rows)
 
@@ -94,7 +101,10 @@ class DenseTopKSpMV:
         self.num_rows = matrix.num_rows
         self.num_cols = matrix.num_cols
         self.num_nnz = matrix.nnz
-        self.block_rows = min(block_rows, 1 << 20)
+        # cap the block to the (1024-aligned) corpus height so small
+        # corpora aren't zero-padded up to a full 131072-row block
+        self.block_rows = min(block_rows, 1 << 20,
+                              -(-matrix.num_rows // 1024) * 1024)
         if recall_target is None:
             # the global top-k spreads over the row blocks, so per-block
             # recall compounds in our favor when there are many blocks —
@@ -106,7 +116,8 @@ class DenseTopKSpMV:
         self.recall_target = recall_target
         self.device = device or jax.devices()[0]
 
-        dense_bytes = 2 * matrix.num_rows * matrix.num_cols
+        padded_rows = -(-matrix.num_rows // self.block_rows) * self.block_rows
+        dense_bytes = 2 * padded_rows * matrix.num_cols
         budget = hbm_budget_bytes
         if budget is None:
             try:  # stay under ~60% of the device's memory when known
@@ -137,11 +148,13 @@ class DenseTopKSpMV:
         """(Q, C) queries -> (indices, values) of shape (Q, k)."""
         k = k or self.config.k
         queries = jnp.asarray(np.asarray(queries, np.float32))
+        num_real = (self.num_rows if self._A.shape[0] > self.num_rows
+                    else None)
         idx, vals = dense_topk_batch(
-            self._A, queries, k=k, block_rows=self.block_rows,
+            self._A, queries, num_real, k=k, block_rows=self.block_rows,
             recall_target=self.recall_target)
-        # padding rows score exactly 0 from zero vectors; mask them out of
-        # the index space by clamping (they only appear for tiny corpora)
+        # only when k exceeds the number of real rows can pad entries
+        # surface; mark them
         idx = jnp.where(idx < self.num_rows, idx, -1)
         return idx, vals
 

@@ -93,8 +93,11 @@ def _topk_update(tv, tt, score, slice_idx, lane_k, tie_safe=False):
     (saves the first-argmin iota chain, ~9% kernel time at narrow widths).
     With continuous scores min-ties are vanishing; when a new score ties
     an incumbent that is also the lane min, the incumbent is overwritten —
-    only one of an exactly-tied pair of rows is kept. Set
-    config.tie_safe_topk for tie-heavy data (e.g. pattern matrices).
+    only one of an exactly-tied pair of rows is kept, and a score landing
+    on several tied-min slots occupies all of them, so the final top-k may
+    contain a duplicated row on exact-tie data. Set config.tie_safe_topk
+    for tie-heavy data (e.g. pattern matrices) to get the reference's
+    exact first-of-ties argmin semantics.
     """
     cur = tv[:]
     cur_min = jnp.min(cur, axis=0, keepdims=True)                  # (1, 128)
@@ -288,7 +291,6 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                   tv, tt, carry, *, cfg: TopKSpMVConfig, plan: tuple,
                   block_sublanes: int, codec: str = "f32",
                   mask_lanes: bool = True):
-    tie_safe = cfg.tie_safe_topk
     """All buckets in ONE pallas_call: grid = total blocks, one static
     branch per bucket selected on the block index.
 
@@ -300,6 +302,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     buckets. Wide buckets (width > block) carry a partial row sum across
     blocks in `carry` scratch — the only loop_3-style stitching left.
     """
+    tie_safe = cfg.tie_safe_topk
     i = pl.program_id(0)
     S = cfg.chunk_sublanes
     K = cfg.lane_k
@@ -416,7 +419,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     t = pb.slice_base + off // bps
                     score = jnp.where(t < pb.slice_base + nreal,
                                       score, NEG_INF)
-                    _topk_update(tv, tt, score, t, K)
+                    _topk_update(tv, tt, score, t, K, tie_safe=tie_safe)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -482,11 +485,11 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                         block_sublanes: int, codec: str,
                         num_queries: int, table_rows: int,
                         mask_lanes: bool = True):
-    tie_safe = cfg.tie_safe_topk
     """Multi-query fused kernel: one pallas_call over all buckets AND all
     queries of a group — each matrix block is decoded once and its HBM
     traffic is amortized across the Q query tables (the SpMM analog of
     multi_spmv_gold, gold_algorithms.hpp:21-35)."""
+    tie_safe = cfg.tie_safe_topk
     i = pl.program_id(0)
     S = cfg.chunk_sublanes
     K = cfg.lane_k

@@ -44,6 +44,9 @@ class ShardedDenseTopKSpMV:
         self.num_nnz = matrix.nnz
         self.recall_target = recall_target
 
+        if not matrix.is_sorted_row_major():
+            matrix = matrix.sort_row_major()
+
         rows_per_shard = -(-matrix.num_rows // D)
         # block_rows must tile the shard exactly (zero rows pad the tail)
         self.block_rows = min(block_rows, rows_per_shard)
@@ -81,10 +84,10 @@ class ShardedDenseTopKSpMV:
         num_rows = self.num_rows
 
         def local_fn(A, meta, queries):
-            li, lv = dense_topk_batch(
-                A[0], queries, k=k, block_rows=block_rows,
-                recall_target=recall)
             row0, nreal = meta[0, 0], meta[0, 1]
+            li, lv = dense_topk_batch(
+                A[0], queries, nreal, k=k, block_rows=block_rows,
+                recall_target=recall)
             # pad rows (zero vectors past this shard's real rows) must not
             # alias real global rows: send them to the sentinel with -inf
             valid = li < nreal

@@ -97,7 +97,7 @@ def test_query_batch_grouped_kernel():
     Q = create_query_batch(5, 512, seed=57)  # forces a padded tail group
     bi, bv = map(np.asarray, eng.query_batch(Q, k=15, group_size=4))
     assert bi.shape == (5, 15)
-    for qi in range(3):
+    for qi in (0, 1, 4):
         si, sv = map(np.asarray, eng.query(Q[qi], k=15))
         assert _precision(si, bi[qi]) == 1.0
         np.testing.assert_allclose(np.sort(bv[qi]), np.sort(sv), atol=1e-6)

