@@ -47,8 +47,14 @@ K = 100
 def main():
     t0 = time.time()
     coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
+    # i4s query codec: the sweep decodes at the HBM streaming ceiling
+    # (one lane-gather per chunk); exact ranking is restored by host CSR
+    # rescoring of the top-400 candidate pool — the same split as the
+    # reference, whose headline times the kernel sweep and merges/checks
+    # on the host (host_spmv_bscsr.cpp:323-352, read_result :399-448).
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
-                         query_codec="i8s", width_quantum=4)
+                         query_codec="i4s", width_quantum=4,
+                         rescore_pool=400)
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
 
@@ -147,9 +153,15 @@ def main():
 
     # correctness spot check (differential oracle, reference protocol)
     q = create_query_batch(1, NUM_COLS, seed=3)[0]
-    ki, _ = map(np.asarray, eng.query(q))
+    ki, _ = map(np.asarray, eng.query(q))          # rescored (production)
+    pool_i = np.asarray(eng.query(q, k=400, rescore_pool=0)[0])
+    t_r = time.perf_counter()
+    eng._rescore(pool_i, q, K)  # host-side cost of re-ranking the pool
+    rescore_ms = (time.perf_counter() - t_r) * 1e3
+    raw_i, _ = map(np.asarray, eng.query(q, rescore_pool=0))
     gi, _ = topk_exact(coo, q, K)
     precision = len(set(gi.tolist()) & set(ki.tolist())) / K
+    precision_raw = len(set(gi.tolist()) & set(raw_i.tolist())) / K
     precision_dense = len(set(gi.tolist()) & set(di[0].tolist())) / K
 
     print(json.dumps({
@@ -160,6 +172,8 @@ def main():
         "per_query_ms": round(per_query * 1e3, 3),
         "hbm_gbps": round(hbm_gbps, 1),
         "precision_at_100": precision,
+        "precision_raw_i4s": precision_raw,
+        "rescore_host_ms": round(rescore_ms, 3),
         "batch16_gnnz_per_query": round(coo.nnz / per_query_batch / 1e9, 2),
         "batch16_ms_per_query": round(per_query_batch * 1e3, 3),
         "dense_batch64_gnnz_per_query": round(

@@ -197,6 +197,8 @@ VARIANTS = {
 
 
 def make_kernel(body, table_rows):
+    G = 4 if FOLD == "top1g4" else 1
+
     def kern(tab_ref, words_ref, topv_ref, topt_ref, tv, tt):
         i = pl.program_id(0)
 
@@ -209,15 +211,37 @@ def make_kernel(body, table_rows):
         bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
                for c in range(table_rows)]
 
-        def do_slice(j):
+        def slice_score(j):
             accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(2)]
             for u in range(W // S):
                 w = words_ref[pl.ds(j * W + u * S, S), :]
                 accs[u % 2] = accs[u % 2] + body(tab_ref, w, bcs)
-            score = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
-            _topk_update(tv, tt, score, i * SPB + j)
+            return jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
 
-        if SPB * (W // S) <= 128:
+        def do_slice(j):
+            _topk_update(tv, tt, slice_score(j), i * SPB + j)
+
+        if G > 1:
+            # per-lane top-1 of each G-slice group, one K-fold per group:
+            # running (gmax, gidx) costs cmp+2sel per slice vs the full
+            # argmin-replace chain; candidate pool narrows to 1 per
+            # (lane, group) — the LFR-style approximation, recovered by
+            # the rescore pool.
+            assert SPB % G == 0
+            for g in range(SPB // G):
+                gmax = None
+                for jj in range(G):
+                    j = g * G + jj
+                    s = slice_score(j)
+                    t = jnp.full((1, LANES), i * SPB + j, jnp.int32)
+                    if gmax is None:
+                        gmax, gidx = s, t
+                    else:
+                        take = s > gmax
+                        gmax = jnp.where(take, s, gmax)
+                        gidx = jnp.where(take, t, gidx)
+                _topk_update(tv, tt, gmax, gidx)
+        elif SPB * (W // S) <= 128:
             for j in range(SPB):
                 do_slice(j)
         else:

@@ -27,6 +27,23 @@ from .formats.sell import SellMatrix, pack_sell
 from .ops.kernel import topk_spmv_sell_device, finalize_topk
 
 
+def exact_rescore(csr, idx, vec, k):
+    """Exact top-k among candidate rows `idx` by f32 CSR dot products.
+
+    csr: scipy CSR of the full matrix; idx: candidate rows (−1 = padding);
+    returns (indices, values) of length k, sorted descending, padded with
+    (−1, −inf) if fewer than k valid candidates."""
+    idx = np.asarray(idx)
+    rows = idx[idx >= 0]
+    exact = csr[rows].dot(np.asarray(vec, np.float32))
+    order = np.argsort(-exact, kind="stable")[:k]
+    out_i = np.full(k, -1, np.int32)
+    out_v = np.full(k, -np.inf, np.float32)
+    out_i[: len(order)] = rows[order]
+    out_v[: len(order)] = exact[order]
+    return out_i, out_v
+
+
 def _auto_interpret(cfg: TopKSpMVConfig) -> bool:
     if cfg.interpret is not None:
         return cfg.interpret
@@ -63,6 +80,12 @@ class TopKSpMV:
         self._interpret = _auto_interpret(config)
         device = device or jax.devices()[0]
         self.device = device
+
+        self._scipy_csr = None
+        if config.rescore_pool:
+            # keep the exact matrix host-side for candidate re-ranking
+            # (scipy CSR: fancy row indexing + dot are C loops)
+            self._scipy_csr = matrix.to_scipy()
 
         if config.layout == "bucketed":
             from .formats.sell_buckets import pack_sell_buckets, fuse_buckets
@@ -145,6 +168,7 @@ class TopKSpMV:
         self.num_nnz = fused.num_nnz
         self._interpret = _auto_interpret(config)
         self.device = device or jax.devices()[0]
+        self._scipy_csr = None  # exact rescoring needs the source matrix
         self.sell = None  # per-bucket layout not persisted
         self.fused = fused
         self._fwords = jax.device_put(fused.words, self.device)
@@ -215,11 +239,37 @@ class TopKSpMV:
         table, self._last_scale = self._table(vec)
         return self._jit_candidates(table)
 
-    def query(self, vec, k: Optional[int] = None):
-        """Top-K rows by A @ vec: returns (indices, values), sorted desc."""
+    def _rescore(self, idx, vec, k):
+        """Exact top-k among candidate rows `idx` by f32 CSR dot products.
+
+        The device sweep (possibly with a quantized query codec) proposes
+        a pool of max(k, rescore_pool) rows; the true ranking is restored
+        here with exact arithmetic — the same shape as the reference's
+        host merge being the accuracy backstop over per-partition
+        approximation (host_spmv_bscsr.cpp:399-448)."""
+        if self._scipy_csr is None:
+            raise NotImplementedError(
+                "exact rescoring needs the host CSR: construct the engine "
+                "from the matrix with config.rescore_pool set (load()ed "
+                "snapshots do not carry it)")
+        return exact_rescore(self._scipy_csr, idx, vec, k)
+
+    def query(self, vec, k: Optional[int] = None,
+              rescore_pool: Optional[int] = None):
+        """Top-K rows by A @ vec: returns (indices, values), sorted desc.
+
+        rescore_pool (default config.rescore_pool): when set, the device
+        candidates are widened to max(k, rescore_pool) and exactly
+        re-ranked on the host CSR — with a quantized codec (i4s/i8s) this
+        restores ~exact ranking while the sweep runs at codec speed."""
         k = k or self.config.k
+        if rescore_pool is None:  # 0 disables explicitly
+            rescore_pool = self.config.rescore_pool
         topv, topt = self.candidates(vec)
-        idx, vals = finalize_topk(topv, topt, self._row_ids, k=k)
+        pool = max(k, rescore_pool) if rescore_pool else k
+        idx, vals = finalize_topk(topv, topt, self._row_ids, k=pool)
+        if rescore_pool:
+            return self._rescore(np.asarray(idx), vec, k)
         if self._last_scale != 1.0:
             vals = vals * self._last_scale
         return idx, vals
@@ -237,19 +287,24 @@ class TopKSpMV:
         )
 
     def query_batch(self, queries, k: Optional[int] = None,
-                    group_size: int = 8):
+                    group_size: int = 8,
+                    rescore_pool: Optional[int] = None):
         """Batched queries (Q, C) -> (Q, k) indices and values.
 
         The SpMM analog of multi_spmv_gold (gold_algorithms.hpp:21-35): a
         multi-query kernel decodes each matrix block once and amortizes the
-        HBM stream across `group_size` queries.
+        HBM stream across `group_size` queries. rescore_pool: see query().
         """
-        k = k or self.config.k
+        user_k = k or self.config.k
+        if rescore_pool is None:  # 0 disables explicitly
+            rescore_pool = self.config.rescore_pool
+        k = max(user_k, rescore_pool) if rescore_pool else user_k
         queries = np.asarray(queries, dtype=np.float32)
         if self.config.layout != "bucketed":
-            outs = [self.query(q, k) for q in queries]
-            return (jnp.stack([o[0] for o in outs]),
-                    jnp.stack([o[1] for o in outs]))
+            outs = [self.query(q, user_k, rescore_pool=rescore_pool)
+                    for q in queries]
+            return (jnp.stack([jnp.asarray(o[0]) for o in outs]),
+                    jnp.stack([jnp.asarray(o[1]) for o in outs]))
 
         if not hasattr(self, "_jit_batch"):
             self._jit_batch = jax.jit(self.batch_candidates_traceable)
@@ -281,7 +336,13 @@ class TopKSpMV:
             vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
             idx_all.append(idx[:n_real])
             val_all.append(vals[:n_real])
-        return jnp.concatenate(idx_all), jnp.concatenate(val_all)
+        idx, vals = jnp.concatenate(idx_all), jnp.concatenate(val_all)
+        if rescore_pool:
+            outs = [self._rescore(np.asarray(idx[q]), queries[q], user_k)
+                    for q in range(len(queries))]
+            return (jnp.stack([jnp.asarray(o[0]) for o in outs]),
+                    jnp.stack([jnp.asarray(o[1]) for o in outs]))
+        return idx, vals
 
     def scores(self, vec) -> np.ndarray:
         """Full dense result A @ vec in original row order (no Top-K).

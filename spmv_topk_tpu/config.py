@@ -103,6 +103,14 @@ class TopKSpMVConfig:
     #   Top-K buffers (the reference's exact argmin semantics) at ~9% kernel
     #   cost; False (default) may keep only one of an exactly-tied pair —
     #   set True for tie-heavy data such as pattern (-v) matrices.
+    rescore_pool: Optional[int] = None  # exact rescoring: keep the host CSR
+    #   at build time and, per query, re-rank the top max(k, rescore_pool)
+    #   device candidates with exact f32 dot products. Restores ~exact
+    #   ranking for the quantized query codecs (i4s sweeps at the HBM
+    #   streaming ceiling but ranks at ~0.92 precision alone; with a 4-8x k
+    #   pool the true top-k is almost surely inside the candidate set).
+    #   The reference's analog is the host-side merge being the accuracy
+    #   backstop for per-partition approximation (topk_errors.py:29-42).
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
     def __post_init__(self):

@@ -58,6 +58,12 @@ class ShardedBucketedTopKSpMV:
         if not matrix.is_sorted_row_major():
             matrix = matrix.sort_row_major()
 
+        # Merge width: widened to the rescore pool so the host re-ranking
+        # has enough exact candidates (see api.TopKSpMV._rescore).
+        self._merge_k = max(config.k, config.rescore_pool or 0)
+        self._scipy_csr = (matrix.to_scipy() if config.rescore_pool
+                           else None)
+
         rows_per_shard = -(-matrix.num_rows // D)
         packs = []
         for d in range(D):
@@ -129,7 +135,7 @@ class ShardedBucketedTopKSpMV:
         plan = self.fused_plan
         num_blocks = self.fused_num_blocks
         block_sub = self.fused_block_sublanes
-        k = cfg.k
+        k = self._merge_k
 
         def local_fn(nreal, row_ids, table, words):
             topv, topt = topk_spmv_fused_device(
@@ -178,15 +184,20 @@ class ShardedBucketedTopKSpMV:
         return jnp.asarray(tab), scale
 
     def query(self, vec, k: Optional[int] = None):
+        k = k or self.config.k
+        if k > self.config.k:
+            raise ValueError(
+                f"k={k} exceeds build-time merge width {self.config.k}")
         table, scale = self._table(vec)
         idx, vals = self._query_fn(
             self._nreal, self._row_ids, table, self._words)
+        if self._scipy_csr is not None:
+            from ..api import exact_rescore
+
+            return exact_rescore(self._scipy_csr, np.asarray(idx), vec, k)
         if scale != 1.0:
             vals = vals * scale
-        if k is not None and k != self.config.k:
-            if k > self.config.k:
-                raise ValueError(
-                    f"k={k} exceeds build-time merge width {self.config.k}")
+        if k != self._merge_k:
             idx, vals = idx[:k], vals[:k]
         return idx, vals
 
@@ -198,7 +209,7 @@ class ShardedBucketedTopKSpMV:
         plan = self.fused_plan
         num_blocks = self.fused_num_blocks
         block_sub = self.fused_block_sublanes
-        k = cfg.k
+        k = self._merge_k
 
         def local_fn(nreal, row_ids, tables, words):
             topv, topt = topk_spmv_fused_batch_device(
@@ -262,7 +273,19 @@ class ShardedBucketedTopKSpMV:
             idx, vals = fn(self._nreal, self._row_ids,
                            jnp.stack(tabs), self._words)
             vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
-            if k is not None and k < self.config.k:
+            if self._scipy_csr is not None:
+                from ..api import exact_rescore
+
+                kk = min(k or self.config.k, self.config.k)
+                outs = [exact_rescore(self._scipy_csr, np.asarray(idx[q]),
+                                      chunk[q], kk)
+                        for q in range(n_real)]
+                idx = jnp.stack([jnp.asarray(o[0]) for o in outs])
+                vals = jnp.stack([jnp.asarray(o[1]) for o in outs])
+                idx_all.append(idx)
+                val_all.append(vals)
+                continue
+            if k is not None and k < self._merge_k:
                 idx, vals = idx[:, :k], vals[:, :k]
             idx_all.append(idx[:n_real])
             val_all.append(vals[:n_real])

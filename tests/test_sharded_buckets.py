@@ -61,3 +61,23 @@ def test_sharded_bucketed_query_batch():
         gi, gv = topk_exact(coo, Q[qi], 25)
         assert _precision(gi, bi[qi]) >= 0.96
         np.testing.assert_allclose(np.sort(bv[qi]), np.sort(gv), atol=2e-3)
+
+
+def test_sharded_rescore_i4s():
+    """Quantized sweep + widened merge + host exact rescore on the mesh."""
+    mesh = make_mesh(jax.devices()[:4])
+    coo = create_sparse_matrix(2600, 512, 12, "gamma", seed=77)
+    cfg = TopKSpMVConfig(k=40, max_cols=512, block_sublanes=64,
+                         query_codec="i4s", rescore_pool=160)
+    eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    q = create_sample_vector(512, seed=78)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 40)
+    assert _precision(gi, ki) >= 0.97
+    np.testing.assert_allclose(np.sort(kv), np.sort(gv), rtol=1e-5)
+    Q = np.stack([create_sample_vector(512, seed=79 + i) for i in range(3)])
+    bi, bv = map(np.asarray, eng.query_batch(Q, group_size=2))
+    assert bi.shape == (3, 40)
+    for qi in range(3):
+        g2, _ = topk_exact(coo, Q[qi], 40)
+        assert _precision(g2, bi[qi]) >= 0.97
