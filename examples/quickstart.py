@@ -28,15 +28,21 @@ batch = np.stack([create_sample_vector(1024, seed=10 + i) for i in range(16)])
 idx, vals = engine.query_batch(batch)
 print("batch:", np.asarray(idx).shape)
 
-# Fast mode: sign-layout int8 query codec + quantum-4 slice widths
-# (rank-exact in practice, ~30% faster than the f32 codec).
+# Fast mode: i4s query codec sweeps at the HBM streaming ceiling; the
+# rescore pool re-ranks the top-400 candidates with exact f32 dot
+# products on the host CSR, so the served top-k is exact in practice.
 fast = st.TopKSpMV(corpus, st.TopKSpMVConfig(
-    k=100, query_codec="i8s", width_quantum=4))
+    k=100, query_codec="i4s", width_quantum=4, rescore_pool=400))
 print("fast top-5:", np.asarray(fast.query(create_sample_vector(1024, seed=0))[0])[:5])
 
-# Persist the packed engine: serving restarts skip the re-pack.
+# Persist the packed engine: serving restarts skip the re-pack. (A
+# load()ed engine has no host CSR, so query it with rescore_pool=0 or
+# rebuild from the matrix to rescore.)
 fast.save("/tmp/corpus_packed.npz")
 reloaded = st.TopKSpMV.load("/tmp/corpus_packed.npz")
+print("reloaded top-5:",
+      np.asarray(reloaded.query(create_sample_vector(1024, seed=0),
+                                rescore_pool=0)[0])[:5])
 
 # Highest batched throughput when the dense form fits HBM (~2 GB here):
 # dense bf16 MXU sweep + approx_max_k, ~3x the sparse batch rate.

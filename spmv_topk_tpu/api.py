@@ -233,11 +233,14 @@ class TopKSpMV:
 
     def candidates(self, vec) -> tuple[jax.Array, jax.Array]:
         """Per-lane Top-K candidates (topv, topt) before the global merge.
-        Values are unscaled when query_codec is quantized."""
-        if not hasattr(self, "_jit_candidates"):
-            self._jit_candidates = jax.jit(self.candidates_traceable)
+        Values are unscaled when query_codec is quantized.
+
+        No extra jit wrapper: the device functions underneath are jitted
+        with the matrix arrays as explicit arguments — wrapping the
+        capturing closure in jax.jit would bake the (possibly GB-scale)
+        word stream into the compiled program as a constant."""
         table, self._last_scale = self._table(vec)
-        return self._jit_candidates(table)
+        return self.candidates_traceable(table)
 
     def _rescore(self, idx, vec, k):
         """Exact top-k among candidate rows `idx` by f32 CSR dot products.
@@ -306,17 +309,10 @@ class TopKSpMV:
             return (jnp.stack([jnp.asarray(o[0]) for o in outs]),
                     jnp.stack([jnp.asarray(o[1]) for o in outs]))
 
-        if not hasattr(self, "_jit_batch"):
-            self._jit_batch = jax.jit(self.batch_candidates_traceable)
-            self._jit_batch_finalize = jax.jit(
-                jax.vmap(
-                    lambda tv, tt, rid: finalize_topk(tv, tt, rid, k=k),
-                    in_axes=(0, 0, None),
-                ),
-                static_argnames=(),
-            )
-            self._jit_batch_k = k
-        if k != self._jit_batch_k:
+        # batch_candidates_traceable needs no jit wrapper (the device
+        # function takes the word stream as an explicit jitted argument —
+        # see candidates()); only the vmapped finalize is wrapped here.
+        if getattr(self, "_jit_batch_k", None) != k:
             self._jit_batch_finalize = jax.jit(jax.vmap(
                 lambda tv, tt, rid: finalize_topk(tv, tt, rid, k=k),
                 in_axes=(0, 0, None)))
@@ -331,7 +327,7 @@ class TopKSpMV:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], group_size - n_real, 0)])
             tabs, scales = zip(*(self._table(q) for q in chunk))
-            tv, tt = self._jit_batch(jnp.stack(tabs))
+            tv, tt = self.batch_candidates_traceable(jnp.stack(tabs))
             idx, vals = self._jit_batch_finalize(tv, tt, self._row_ids)
             vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
             idx_all.append(idx[:n_real])

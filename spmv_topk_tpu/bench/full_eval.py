@@ -8,8 +8,11 @@ Configs (BASELINE.json):
   4. row-sharded multi-device + batched queries (functional validation on
      a virtual mesh when only one chip is available)
   5. serving loop: latency percentiles + recall@10/@100
+  6. dense-MXU batch engine (when the dense form fits HBM)
+  7. GloVe-shaped workload (2.2M x 300, the reference's real dataset
+     geometry) with the i4s + rescore production mode
 
-Usage: python -m spmv_topk_tpu.bench.full_eval [--small]
+Usage: python -m spmv_topk_tpu.bench.full_eval [--small] [--configs c2,c7]
 """
 
 from __future__ import annotations
@@ -38,20 +41,33 @@ BASELINE_GNNZ = 76.9
 
 
 def _throughput(eng, coo, nq=104):
+    """Median-slope per-query seconds over a scanned query stream.
+
+    The matrix arrays are explicit jit arguments: closed-over device
+    arrays are INLINED into the remote-compile request through the axon
+    tunnel and a multi-hundred-MB stream breaks the transport."""
+    from ..ops.kernel import topk_spmv_fused_device
+
     tabs = jnp.stack([
         eng._table(q)[0]
         for q in create_query_batch(nq, coo.num_cols, seed=2)
     ])
+    cfg, fused = eng.config, eng.fused
 
     @jax.jit
-    def run(tabs):
+    def run(words, nreal, tabs):
         def step(c, tab):
-            tv, tt = eng.candidates_traceable(tab)
+            tv, tt = topk_spmv_fused_device(
+                words, tab, nreal, cfg=cfg, plan=fused.plan,
+                block_sublanes=fused.block_sublanes,
+                num_blocks=fused.num_blocks, codec=cfg.query_codec)
             return c, (tv.max(), tt.max())
         return jax.lax.scan(step, 0, tabs)[1]
 
-    per = timed_slope(lambda n: np.asarray(jax.tree.leaves(run(tabs[:n]))[0]),
-                      4, nq)
+    per = timed_slope(
+        lambda n: np.asarray(jax.tree.leaves(
+            run(eng._fwords, eng._fnreal, tabs[:n]))[0]),
+        4, nq)
     return per
 
 
@@ -72,117 +88,192 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="shrink matrices ~10x for a quick pass")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated config prefixes to run "
+                         "(e.g. c2,c7); default all. Existing "
+                         "RESULTS.json entries for skipped configs are "
+                         "kept.")
     args = ap.parse_args(argv)
     scale = 10 if args.small else 1
     results = {"device": str(jax.devices()[0]), "configs": {}}
+    try:  # merge over previous results when running a subset
+        with open("RESULTS.json") as f:
+            results["configs"].update(json.load(f).get("configs", {}))
+    except (OSError, ValueError):
+        pass
+    want = args.configs.split(",") if args.configs else None
 
-    # config 1: small-matrix exact oracle agreement (CPU gold protocol)
-    coo = create_sparse_matrix(10_000, 1024, 20, "gamma", seed=1)
-    eng = TopKSpMV(coo, TopKSpMVConfig(k=100))
-    results["configs"]["c1_small_oracle"] = _accuracy(eng, coo)
+    def skip(name):
+        return want is not None and not any(
+            name.startswith(w) for w in want)
+
+    def record(name, value):
+        # write-through after every config: a crash (e.g. tunnel drop on
+        # a huge compile) must not lose earlier measurements
+        results["configs"][name] = value
+        with open("RESULTS.json", "w") as f:
+            json.dump(results, f, indent=2)
+        _write_md(results)
+
+    if not skip("c1"):
+        # config 1: small-matrix exact oracle agreement (CPU gold protocol)
+        coo = create_sparse_matrix(10_000, 1024, 20, "gamma", seed=1)
+        eng = TopKSpMV(coo, TopKSpMVConfig(k=100))
+        record("c1_small_oracle", _accuracy(eng, coo))
 
     # config 2: 1M x 1024 gamma bf16 single chip, production codecs
     # (the f32 codec's 8-pass gather x 16 quantum-4 branches is a
     # pathologically large Mosaic compile through the remote tunnel;
     # exact-codec accuracy is covered by config 1)
     coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
-    for codec in ("i8s", "i4s"):
+    for codec in () if skip("c2") else ("i8s", "i4s"):
+        # i4s is the production fast mode: sweep at the stream ceiling,
+        # exact host rescore of the top-400 pool restores precision 1.0
+        pool = 400 if codec == "i4s" else None
         eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec=codec,
-                                           width_quantum=4))
+                                           width_quantum=4,
+                                           rescore_pool=pool))
         per = _throughput(eng, coo)
         acc = _accuracy(eng, coo)
-        results["configs"][f"c2_1M_bf16_{codec}"] = dict(
+        entry = dict(
             per_query_ms=round(per * 1e3, 3),
             gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
             hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
             vs_fpga_baseline=round(coo.nnz / per / 1e9 / BASELINE_GNNZ, 3),
             padding=round(eng.fused.padding_ratio, 3), **acc)
+        if pool:
+            q = create_query_batch(1, coo.num_cols, seed=50)[0]
+            raw_i, _ = map(np.asarray, eng.query(q, rescore_pool=0))
+            gi, _ = topk_exact(coo, q, 100)
+            entry["precision_raw"] = metrics.precision_at_k(gi, raw_i)
+            entry["rescore_pool"] = pool
+        record(f"c2_1M_bf16_{codec}", entry)
 
-    # config 3: 10M x 1024 reduced precision K=100 single host
-    t0 = time.time()
-    coo = create_sparse_matrix(10_000_000 // scale, 1024, 20, "gamma", seed=1)
-    gen_s = time.time() - t0
-    t0 = time.time()
-    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
-                                       width_quantum=4))
-    pack_s = time.time() - t0
-    per = _throughput(eng, coo, nq=24)
-    acc = _accuracy(eng, coo, trials=1)
-    results["configs"]["c3_10M_i8s"] = dict(
-        per_query_ms=round(per * 1e3, 3),
-        gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
-        hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
-        nnz=coo.nnz, pack_seconds=round(pack_s, 1),
-        gen_seconds=round(gen_s, 1), **acc)
-    del eng, coo
+    if not skip("c3"):
+        # config 3: 10M x 1024 reduced precision K=100 single host
+        t0 = time.time()
+        coo = create_sparse_matrix(10_000_000 // scale, 1024, 20, "gamma",
+                                   seed=1)
+        gen_s = time.time() - t0
+        t0 = time.time()
+        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
+                                           width_quantum=4))
+        pack_s = time.time() - t0
+        per = _throughput(eng, coo, nq=24)
+        acc = _accuracy(eng, coo, trials=1)
+        record("c3_10M_i8s", dict(
+            per_query_ms=round(per * 1e3, 3),
+            gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
+            hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
+            nnz=coo.nnz, pack_seconds=round(pack_s, 1),
+            gen_seconds=round(gen_s, 1), **acc))
+        del eng, coo
 
-    # config 4: batched queries (the multi-device variant is validated by
-    # __graft_entry__.dryrun_multichip; here: the batched kernel path)
-    coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
-    eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
-                                       width_quantum=4))
+    # configs 4-6 share the 1M corpus
     G = 8
-    groups = [jnp.stack([eng._table(q)[0] for q in
-                         create_query_batch(G, 1024, seed=100 + s)])
-              for s in range(10)]
-    tabs = jnp.stack(groups)
+    if not (skip("c4") and skip("c5") and skip("c6")):
+        coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma",
+                                   seed=1)
+        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
+                                           width_quantum=4))
 
-    @jax.jit
-    def runb(tabs):
-        def step(c, tab):
-            tv, tt = eng.batch_candidates_traceable(tab)
-            return c, tv.max()
-        return jax.lax.scan(step, 0, tabs)[1]
+    if not skip("c4"):
+        # config 4: batched queries (the multi-device variant is validated
+        # by __graft_entry__.dryrun_multichip; here: the batched kernel)
+        from ..ops.kernel import topk_spmv_fused_batch_device
 
-    perg = timed_slope(lambda n: np.asarray(runb(tabs[:n])), 2, 10)
-    results["configs"]["c4_batched_8q"] = dict(
-        per_group_ms=round(perg * 1e3, 3),
-        per_query_ms=round(perg / G * 1e3, 3),
-        aggregate_gnnz_per_sec=round(coo.nnz * G / perg / 1e9, 2))
-
-    # config 5: serving loop
-    stats = run_service(eng, coo, num_batches=10, batch_size=G, k=100,
-                        oracle_every=5)
-    results["configs"]["c5_service"] = stats
-
-    # config 6: dense-MXU batch engine (when the dense form fits HBM)
-    from ..ops.dense import DenseTopKSpMV, dense_topk_batch
-
-    try:
-        deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=100),
-                             hbm_budget_bytes=8 << 30)
-        QD = 64
-        qss = jnp.stack([
-            jnp.asarray(create_query_batch(QD, 1024, seed=200 + i))
-            for i in range(7)
-        ])
+        groups = [jnp.stack([eng._table(q)[0] for q in
+                             create_query_batch(G, 1024, seed=100 + s)])
+                  for s in range(10)]
+        tabs = jnp.stack(groups)
+        cfg, fused = eng.config, eng.fused
 
         @jax.jit
-        def rund(A, qss):
-            def step(c, qs):
-                _, v = dense_topk_batch(
-                    A, qs, k=100, block_rows=deng.block_rows,
-                    recall_target=deng.recall_target)
-                return c, v.max()
-            return jax.lax.scan(step, 0, qss)[1]
+        def runb(words, nreal, tabs):
+            def step(c, tab):
+                tv, tt = topk_spmv_fused_batch_device(
+                    words, tab, nreal, cfg=cfg, plan=fused.plan,
+                    block_sublanes=fused.block_sublanes,
+                    num_blocks=fused.num_blocks, codec=cfg.query_codec)
+                return c, tv.max()
+            return jax.lax.scan(step, 0, tabs)[1]
 
-        perd = timed_slope(
-            lambda n: np.asarray(rund(deng._A, qss[:n])), 2, 7) / QD
-        di, _ = map(np.asarray, deng.query_batch(
-            create_query_batch(1, 1024, seed=51)))
-        gi, _ = topk_exact(coo, np.asarray(
-            create_query_batch(1, 1024, seed=51)[0]), 100)
-        results["configs"]["c6_dense_batch64"] = dict(
-            us_per_query=round(perd * 1e6, 1),
-            gnnz_equiv_per_sec=round(coo.nnz / perd / 1e9, 2),
-            precision=metrics.precision_at_k(gi, di[0]))
-    except ValueError as e:
-        results["configs"]["c6_dense_batch64"] = dict(skipped=str(e))
+        perg = timed_slope(
+            lambda n: np.asarray(runb(eng._fwords, eng._fnreal, tabs[:n])),
+            2, 10)
+        record("c4_batched_8q", dict(
+            per_group_ms=round(perg * 1e3, 3),
+            per_query_ms=round(perg / G * 1e3, 3),
+            aggregate_gnnz_per_sec=round(coo.nnz * G / perg / 1e9, 2)))
+
+    if not skip("c5"):
+        # config 5: serving loop
+        stats = run_service(eng, coo, num_batches=10, batch_size=G, k=100,
+                            oracle_every=5)
+        record("c5_service", stats)
+
+    if not skip("c6"):
+        try:
+            record("c6_dense_batch64", _run_dense_c6(coo))
+        except ValueError as e:
+            record("c6_dense_batch64", dict(skipped=str(e)))
+
+    if not skip("c7"):
+        # config 7: GloVe-shaped real-data workload (the reference's
+        # non-synthetic benchmark: glove 2.2M x 300, 54.9M nnz, ~25
+        # nnz/row, test_spmv_topk.py:29-32) — synthetic stand-in with the
+        # same geometry; i4s + rescore production mode.
+        coo = create_sparse_matrix(2_200_000 // scale, 300, 25, "uniform",
+                                   seed=7)
+        eng = TopKSpMV(coo, TopKSpMVConfig(
+            k=100, query_codec="i4s", width_quantum=4, max_cols=384,
+            rescore_pool=400))
+        per = _throughput(eng, coo, nq=54)
+        acc = _accuracy(eng, coo)
+        record("c7_glove_shape_i4s", dict(
+            per_query_ms=round(per * 1e3, 3),
+            gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
+            hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
+            nnz=coo.nnz, padding=round(eng.fused.padding_ratio, 3),
+            **acc))
 
     with open("RESULTS.json", "w") as f:
         json.dump(results, f, indent=2)
     _write_md(results)
     print(json.dumps(results["configs"], indent=1))
+
+
+def _run_dense_c6(coo):
+    """config 6: dense-MXU batch engine (when the dense form fits HBM)."""
+    from ..ops.dense import DenseTopKSpMV, dense_topk_batch
+
+    deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=100),
+                         hbm_budget_bytes=8 << 30)
+    QD = 64
+    qss = jnp.stack([
+        jnp.asarray(create_query_batch(QD, 1024, seed=200 + i))
+        for i in range(7)
+    ])
+
+    @jax.jit
+    def rund(A, qss):
+        def step(c, qs):
+            _, v = dense_topk_batch(
+                A, qs, k=100, block_rows=deng.block_rows,
+                recall_target=deng.recall_target)
+            return c, v.max()
+        return jax.lax.scan(step, 0, qss)[1]
+
+    perd = timed_slope(
+        lambda n: np.asarray(rund(deng._A, qss[:n])), 2, 7) / QD
+    di, _ = map(np.asarray, deng.query_batch(
+        create_query_batch(1, 1024, seed=51)))
+    gi, _ = topk_exact(coo, np.asarray(
+        create_query_batch(1, 1024, seed=51)[0]), 100)
+    return dict(
+        us_per_query=round(perd * 1e6, 1),
+        gnnz_equiv_per_sec=round(coo.nnz / perd / 1e9, 2),
+        precision=metrics.precision_at_k(gi, di[0]))
 
 
 def _write_md(results):

@@ -31,16 +31,21 @@ DEFAULT_DIST = ["uniform", "gamma"]
 DEFAULT_DEG = [20, 40]
 
 
-def run_sweep(rows_list, cols_list, dist_list, deg_list, k, num_tests, out_dir):
+def run_sweep(rows_list, cols_list, dist_list, deg_list, k, num_tests,
+              out_dir, codec="f32", rescore_pool=None):
     os.makedirs(out_dir, exist_ok=True)
     summary = []
     for rows, cols, dist, deg in itertools.product(
         rows_list, cols_list, dist_list, deg_list
     ):
-        name = f"tpu_{rows}_{cols}_{dist}_{deg}_bf16_1_{k}_{num_tests}"
+        name = (f"tpu-{codec}_{rows}_{cols}_{dist}_{deg}_bf16_1_{k}"
+                f"_{num_tests}")
         t0 = time.time()
         coo = create_sparse_matrix(rows, cols, deg, dist, seed=1)
-        cfg = TopKSpMVConfig(k=k, value_format=BF16, max_cols=max(cols, 128))
+        cfg = TopKSpMVConfig(k=k, value_format=BF16,
+                             max_cols=max(cols, 128), query_codec=codec,
+                             width_quantum=4 if codec != "f32" else 8,
+                             rescore_pool=rescore_pool)
         eng = TopKSpMV(coo, cfg)
         res = run_benchmark(eng, coo, num_tests=num_tests, k=k, seed=2)
         path = os.path.join(out_dir, name + ".csv")
@@ -70,9 +75,13 @@ def main():
     ap.add_argument("-k", type=int, default=100)
     ap.add_argument("-t", "--num-tests", type=int, default=30)
     ap.add_argument("--out", default="results")
+    ap.add_argument("--codec", default="f32",
+                    choices=["f32", "int8x4", "i8s", "i4s"])
+    ap.add_argument("--rescore-pool", type=int, default=None)
     args = ap.parse_args()
     run_sweep(args.rows, args.cols, args.dist, args.deg, args.k,
-              args.num_tests, args.out)
+              args.num_tests, args.out, codec=args.codec,
+              rescore_pool=args.rescore_pool)
 
 
 if __name__ == "__main__":

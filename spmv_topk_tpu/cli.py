@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--codec", default="f32",
                     choices=["f32", "int8x4", "i8s", "i4s"])
     ap.add_argument("--lane-k", type=int, default=8)
+    ap.add_argument("--rescore-pool", type=int, default=None,
+                    help="exact host CSR re-ranking of the top-N device "
+                         "candidates (restores ~exact ranking for the "
+                         "quantized codecs; try 4-8x k)")
     ap.add_argument("--engine", default="sparse",
                     choices=["sparse", "dense"],
                     help="dense = bf16 MXU sweep + approx_max_k (batched "
@@ -69,6 +73,7 @@ def main(argv=None):
         # pattern matrices (-v: all values 1) are tie-heavy: keep the
         # reference's exact first-of-ties argmin semantics for them
         tie_safe_topk=args.ignore_values,
+        rescore_pool=args.rescore_pool,
     )
     if args.engine == "dense":
         from .ops.dense import DenseTopKSpMV
