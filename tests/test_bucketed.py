@@ -115,3 +115,21 @@ def test_scores_plain_spmv():
     q = create_sample_vector(256, seed=59)
     s = eng.scores(q)
     np.testing.assert_allclose(s, spmv_exact(qcoo, q), atol=1e-5)
+
+
+def test_non_multiple_of_128_cols():
+    """GloVe-like geometry: num_cols=300 pads to a 384-col table."""
+    coo = create_sparse_matrix(1500, 300, 12, "uniform", seed=58)
+    eng = TopKSpMV(coo, TopKSpMVConfig(k=30, max_cols=128))  # auto-raised
+    assert eng.config.max_cols == 384
+    q = create_sample_vector(300, seed=59)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 30)
+    assert _precision(gi, ki) == 1.0
+    np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=2e-3)
+
+    fast = TopKSpMV(coo, TopKSpMVConfig(k=30, max_cols=128,
+                                        query_codec="i4s", width_quantum=4,
+                                        rescore_pool=120))
+    fi, fv = map(np.asarray, fast.query(q))
+    assert _precision(gi, fi) >= 0.96
