@@ -168,4 +168,26 @@ void sell_scatter(const int32_t* rows, const int32_t* cols, const float* vals,
   for (auto& th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Exact candidate rescoring: per-row CSR dot products against a dense
+// query. Serving hot path (api.exact_rescore): the device sweep proposes
+// a few hundred candidate rows; their exact f32 scores are ~10^4 FLOPs —
+// all overhead in Python, ~5 us here.
+// ---------------------------------------------------------------------------
+
+// indptr: (num_rows+1) int64; indices: int32; data: f32; sel: (n_sel)
+// int64 row ids (caller guarantees in-range); out: (n_sel) f32 scores.
+void csr_rescore(const int64_t* indptr, const int32_t* indices,
+                 const float* data, const float* vec, const int64_t* sel,
+                 int64_t n_sel, float* out) {
+  for (int64_t i = 0; i < n_sel; i++) {
+    int64_t r = sel[i];
+    float acc = 0.0f;
+    for (int64_t j = indptr[r]; j < indptr[r + 1]; j++) {
+      acc += data[j] * vec[indices[j]];
+    }
+    out[i] = acc;
+  }
+}
+
 }  // extern "C"

@@ -60,7 +60,8 @@ def _throughput(eng, coo, nq=104):
             tv, tt = topk_spmv_fused_device(
                 words, tab, nreal, cfg=cfg, plan=fused.plan,
                 block_sublanes=fused.block_sublanes,
-                num_blocks=fused.num_blocks, codec=cfg.query_codec)
+                num_blocks=fused.num_blocks, codec=cfg.query_codec,
+                interpret=eng._interpret)
             return c, (tv.max(), tt.max())
         return jax.lax.scan(step, 0, tabs)[1]
 
@@ -107,6 +108,15 @@ def main(argv=None):
         return want is not None and not any(
             name.startswith(w) for w in want)
 
+    _corpus = {}
+
+    def corpus_1m():
+        # shared by c2 and c4-c6; generated at most once per process
+        if "m" not in _corpus:
+            _corpus["m"] = create_sparse_matrix(
+                1_000_000 // scale, 1024, 20, "gamma", seed=1)
+        return _corpus["m"]
+
     def record(name, value):
         # write-through after every config: a crash (e.g. tunnel drop on
         # a huge compile) must not lose earlier measurements
@@ -125,8 +135,8 @@ def main(argv=None):
     # (the f32 codec's 8-pass gather x 16 quantum-4 branches is a
     # pathologically large Mosaic compile through the remote tunnel;
     # exact-codec accuracy is covered by config 1)
-    coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma", seed=1)
     for codec in () if skip("c2") else ("i8s", "i4s"):
+        coo = corpus_1m()
         # i4s is the production fast mode: sweep at the stream ceiling,
         # exact host rescore of the top-400 pool restores precision 1.0
         pool = 400 if codec == "i4s" else None
@@ -172,10 +182,10 @@ def main(argv=None):
     # configs 4-6 share the 1M corpus
     G = 8
     if not (skip("c4") and skip("c5") and skip("c6")):
-        coo = create_sparse_matrix(1_000_000 // scale, 1024, 20, "gamma",
-                                   seed=1)
-        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
-                                           width_quantum=4))
+        coo = corpus_1m()
+        if not (skip("c4") and skip("c5")):  # c6 only needs the matrix
+            eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i8s",
+                                               width_quantum=4))
 
     if not skip("c4"):
         # config 4: batched queries (the multi-device variant is validated
@@ -194,7 +204,8 @@ def main(argv=None):
                 tv, tt = topk_spmv_fused_batch_device(
                     words, tab, nreal, cfg=cfg, plan=fused.plan,
                     block_sublanes=fused.block_sublanes,
-                    num_blocks=fused.num_blocks, codec=cfg.query_codec)
+                    num_blocks=fused.num_blocks, codec=cfg.query_codec,
+                    interpret=eng._interpret)
                 return c, tv.max()
             return jax.lax.scan(step, 0, tabs)[1]
 

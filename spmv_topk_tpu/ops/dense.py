@@ -130,6 +130,12 @@ class DenseTopKSpMV:
                 f"dense form needs {dense_bytes/1e9:.1f} GB > budget "
                 f"{budget/1e9:.1f} GB — use the sparse TopKSpMV engine")
 
+        # exact rescoring (same semantics as TopKSpMV): keep the host CSR
+        # and re-rank the top max(k, pool) bf16/approx_max_k candidates
+        # with exact f32 dot products
+        self._scipy_csr = (matrix.to_scipy() if config.rescore_pool
+                           else None)
+
         pad_rows = (-matrix.num_rows) % self.block_rows
         bits = densify_bf16(matrix)
         if pad_rows:
@@ -146,16 +152,27 @@ class DenseTopKSpMV:
 
     def query_batch(self, queries, k: Optional[int] = None):
         """(Q, C) queries -> (indices, values) of shape (Q, k)."""
-        k = k or self.config.k
-        queries = jnp.asarray(np.asarray(queries, np.float32))
+        user_k = k or self.config.k
+        pool = self.config.rescore_pool
+        k = max(user_k, pool) if pool else user_k
+        queries = np.asarray(queries, np.float32)
         num_real = (self.num_rows if self._A.shape[0] > self.num_rows
                     else None)
         idx, vals = dense_topk_batch(
-            self._A, queries, num_real, k=k, block_rows=self.block_rows,
+            self._A, jnp.asarray(queries), num_real, k=k,
+            block_rows=self.block_rows,
             recall_target=self.recall_target)
         # only when k exceeds the number of real rows can pad entries
         # surface; mark them
         idx = jnp.where(idx < self.num_rows, idx, -1)
+        if pool:
+            from ..api import exact_rescore
+
+            outs = [exact_rescore(self._scipy_csr, np.asarray(idx[q]),
+                                  queries[q], user_k)
+                    for q in range(len(queries))]
+            return (jnp.stack([jnp.asarray(o[0]) for o in outs]),
+                    jnp.stack([jnp.asarray(o[1]) for o in outs]))
         return idx, vals
 
     def query(self, vec, k: Optional[int] = None):

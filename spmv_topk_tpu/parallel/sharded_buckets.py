@@ -156,7 +156,8 @@ class ShardedBucketedTopKSpMV:
             lr = rows[pos]
             gr = jax.lax.all_gather(lr, AXIS)
             gv = jax.lax.all_gather(lv, AXIS)
-            fv, fpos = jax.lax.top_k(gv.reshape(-1), k)
+            flat = gv.reshape(-1)
+            fv, fpos = jax.lax.top_k(flat, min(k, flat.shape[0]))
             return gr.reshape(-1)[fpos][None], fv[None]
 
         fn = shard_map(
@@ -185,9 +186,11 @@ class ShardedBucketedTopKSpMV:
 
     def query(self, vec, k: Optional[int] = None):
         k = k or self.config.k
-        if k > self.config.k:
+        if k > self._merge_k:
             raise ValueError(
-                f"k={k} exceeds build-time merge width {self.config.k}")
+                f"k={k} exceeds the build-time merge width "
+                f"{self._merge_k} (config.k={self.config.k}; "
+                f"config.rescore_pool widens it)")
         table, scale = self._table(vec)
         idx, vals = self._query_fn(
             self._nreal, self._row_ids, table, self._words)
@@ -232,7 +235,8 @@ class ShardedBucketedTopKSpMV:
             lr, lv = jax.vmap(resolve)(topv, topt)      # (Q, k)
             gr = jax.lax.all_gather(lr, AXIS, axis=1)   # (Q, D, k)
             gv = jax.lax.all_gather(lv, AXIS, axis=1)
-            fv, fpos = jax.lax.top_k(gv.reshape(gv.shape[0], -1), k)
+            gvf = gv.reshape(gv.shape[0], -1)
+            fv, fpos = jax.lax.top_k(gvf, min(k, gvf.shape[1]))
             fr = jnp.take_along_axis(gr.reshape(gr.shape[0], -1), fpos, axis=1)
             return fr[None], fv[None]
 
@@ -255,6 +259,11 @@ class ShardedBucketedTopKSpMV:
                     group_size: int = 8):
         """Batched sharded queries: the multi-query kernel runs per shard
         and the merge gathers (Q, k) candidate pairs per device."""
+        if (k or self.config.k) > self._merge_k:  # same contract as query()
+            raise ValueError(
+                f"k={k} exceeds the build-time merge width "
+                f"{self._merge_k} (config.k={self.config.k}; "
+                f"config.rescore_pool widens it)")
         queries = np.asarray(queries, dtype=np.float32)
         if not hasattr(self, "_batch_fns"):
             self._batch_fns = {}
@@ -276,7 +285,7 @@ class ShardedBucketedTopKSpMV:
             if self._scipy_csr is not None:
                 from ..api import exact_rescore
 
-                kk = min(k or self.config.k, self.config.k)
+                kk = k or self.config.k
                 outs = [exact_rescore(self._scipy_csr, np.asarray(idx[q]),
                                       chunk[q], kk)
                         for q in range(n_real)]

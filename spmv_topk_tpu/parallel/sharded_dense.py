@@ -47,6 +47,9 @@ class ShardedDenseTopKSpMV:
         if not matrix.is_sorted_row_major():
             matrix = matrix.sort_row_major()
 
+        self._scipy_csr = (matrix.to_scipy() if config.rescore_pool
+                           else None)
+
         rows_per_shard = -(-matrix.num_rows // D)
         # block_rows must tile the shard exactly (zero rows pad the tail)
         self.block_rows = min(block_rows, rows_per_shard)
@@ -112,11 +115,23 @@ class ShardedDenseTopKSpMV:
         return run
 
     def query_batch(self, queries, k: Optional[int] = None):
-        k = k or self.config.k
+        user_k = k or self.config.k
+        pool = self.config.rescore_pool
+        k = max(user_k, pool) if pool else user_k
         if k not in self._fns:
             self._fns[k] = self._build(k)
-        queries = jnp.asarray(np.asarray(queries, np.float32))
-        return self._fns[k](self._A, self._meta_d, queries)
+        queries = np.asarray(queries, np.float32)
+        idx, vals = self._fns[k](self._A, self._meta_d,
+                                 jnp.asarray(queries))
+        if pool:
+            from ..api import exact_rescore
+
+            outs = [exact_rescore(self._scipy_csr, np.asarray(idx[q]),
+                                  queries[q], user_k)
+                    for q in range(len(queries))]
+            return (jnp.stack([jnp.asarray(o[0]) for o in outs]),
+                    jnp.stack([jnp.asarray(o[1]) for o in outs]))
+        return idx, vals
 
     def query(self, vec, k: Optional[int] = None):
         idx, vals = self.query_batch(np.asarray(vec)[None, :], k)

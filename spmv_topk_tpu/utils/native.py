@@ -57,6 +57,11 @@ def _load():
     lib.sell_scatter.argtypes = [
         i32p, i32p, f32p, ctypes.c_int64, i64p, i64p, i64p, i32p,
         ctypes.c_int32]
+    try:
+        lib.csr_rescore.argtypes = [
+            i64p, i32p, f32p, f32p, i64p, ctypes.c_int64, f32p]
+    except AttributeError:  # stale .so without the symbol
+        pass
     _LIB = lib
     return lib
 
@@ -132,3 +137,21 @@ def sell_scatter(rows, cols, vals, row_start, rank, slice_off, total_sub,
         _ptr(slice_off, ctypes.c_int64), _ptr(words, ctypes.c_int32),
         n_threads)
     return words
+
+
+def csr_rescore(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                vec: np.ndarray, sel: np.ndarray):
+    """Exact f32 scores of selected CSR rows against a dense query, or
+    None if the native library is unavailable (NumPy fallback in
+    api.exact_rescore). indptr must be int64, indices int32, data/vec
+    f32, sel int64."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "csr_rescore"):
+        return None
+    out = np.empty(len(sel), np.float32)
+    lib.csr_rescore(_ptr(indptr, ctypes.c_int64),
+                    _ptr(indices, ctypes.c_int32),
+                    _ptr(data, ctypes.c_float), _ptr(vec, ctypes.c_float),
+                    _ptr(sel, ctypes.c_int64), len(sel),
+                    _ptr(out, ctypes.c_float))
+    return out

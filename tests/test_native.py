@@ -43,3 +43,26 @@ def test_native_sort_perm():
     perm = native.coo_sort_perm(rows, cols, 64)
     keys = rows.astype(np.int64) * 64 + cols
     assert np.all(np.diff(keys[perm]) >= 0)
+
+
+def test_csr_rescore_matches_numpy_fallback():
+    from spmv_topk_tpu.api import exact_rescore
+    from spmv_topk_tpu.utils import native
+
+    coo = create_sparse_matrix(5000, 512, 12, "gamma", seed=33)
+    csr = coo.to_scipy()
+    rng = np.random.default_rng(34)
+    idx = rng.integers(0, 5000, 200).astype(np.int32)
+    vec = rng.standard_normal(512).astype(np.float32)
+    oi, ov = exact_rescore(csr, idx, vec, 50)
+    if not native.available():
+        pytest.skip("native runtime not built")
+    # force the NumPy fallback and compare
+    real = native.csr_rescore
+    try:
+        native.csr_rescore = lambda *a: None
+        fi, fv = exact_rescore(csr, idx, vec, 50)
+    finally:
+        native.csr_rescore = real
+    np.testing.assert_array_equal(oi, fi)
+    np.testing.assert_allclose(ov, fv, rtol=2e-6)

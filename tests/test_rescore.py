@@ -64,16 +64,74 @@ def test_rescore_pool_smaller_than_k_is_clamped():
     assert _precision(gi, idx) >= 0.9
 
 
-def test_loaded_engine_cannot_rescore(tmp_path):
+def test_loaded_engine_disables_rescore(tmp_path):
+    """A snapshot has no host CSR: load() warns and serves un-rescored
+    rather than arming a crash in the default query() path."""
     coo = create_sparse_matrix(500, 256, 8, "uniform", seed=96)
     eng = TopKSpMV(coo, TopKSpMVConfig(k=10, max_cols=256,
                                        rescore_pool=50))
     p = str(tmp_path / "eng.npz")
     eng.save(p)
-    loaded = TopKSpMV.load(p)
+    with pytest.warns(UserWarning, match="rescore_pool disabled"):
+        loaded = TopKSpMV.load(p)
+    assert loaded.config.rescore_pool is None
     q = create_sample_vector(256, seed=97)
-    with pytest.raises(NotImplementedError):
-        loaded.query(q)
-    # but querying without rescore still works
-    idx, _ = loaded.query(q, rescore_pool=0)
+    idx, _ = loaded.query(q)        # default path works, un-rescored
     assert len(np.asarray(idx)) == 10
+    with pytest.raises(NotImplementedError):
+        loaded.query(q, rescore_pool=50)  # explicit request still errors
+
+
+def test_dense_engine_rescore():
+    from spmv_topk_tpu.ops.dense import DenseTopKSpMV
+
+    coo = create_sparse_matrix(2000, 256, 10, "gamma", seed=98)
+    eng = DenseTopKSpMV(coo, TopKSpMVConfig(k=25, max_cols=256,
+                                            rescore_pool=100),
+                        hbm_budget_bytes=1 << 30)
+    q = create_sample_vector(256, seed=99)
+    ri, rv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 25)
+    assert _precision(gi, ri) >= 0.96
+    np.testing.assert_allclose(np.sort(rv), np.sort(gv), rtol=1e-5)
+
+
+def test_sharded_oversized_pool_clamps_and_oversized_k_raises():
+    import jax
+
+    from spmv_topk_tpu.parallel import make_mesh
+    from spmv_topk_tpu.parallel.sharded_buckets import ShardedBucketedTopKSpMV
+
+    mesh = make_mesh(jax.devices()[:2])
+    coo = create_sparse_matrix(1200, 256, 8, "uniform", seed=100)
+    # pool larger than the per-device candidate pool (lane_k*128=1024):
+    # the device merge clamps, the rescore pads to k
+    cfg = TopKSpMVConfig(k=20, max_cols=256, block_sublanes=32,
+                         query_codec="i8s", rescore_pool=2000)
+    eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    q = create_sample_vector(256, seed=101)
+    ki, kv = map(np.asarray, eng.query(q))
+    assert ki.shape == (20,)
+    gi, _ = topk_exact(coo, q, 20)
+    assert _precision(gi, ki) >= 0.95
+    with pytest.raises(ValueError, match="merge width"):
+        eng.query(q, k=4000)
+    with pytest.raises(ValueError, match="merge width"):
+        eng.query_batch(np.stack([q]), k=4000)
+
+
+def test_exact_rescore_handles_empty_rows():
+    """cumsum-difference segment sums: rows with zero nnz score 0."""
+    from spmv_topk_tpu.formats import CooMatrix
+    from spmv_topk_tpu.api import exact_rescore
+
+    rows = np.array([0, 0, 2], np.int32)    # row 1 and 3 empty
+    cols = np.array([0, 3, 1], np.int32)
+    vals = np.array([2.0, 1.0, 5.0], np.float32)
+    csr = CooMatrix(rows, cols, vals, 4, 4).to_scipy()
+    vec = np.ones(4, np.float32)
+    idx = np.array([3, 2, 1, 0, -1], np.int32)   # incl. padding sentinel
+    oi, ov = exact_rescore(csr, idx, vec, 4)
+    np.testing.assert_array_equal(oi[:2], [2, 0])
+    assert set(oi[2:].tolist()) == {1, 3}       # zero-score ties
+    np.testing.assert_allclose(ov, [5.0, 3.0, 0.0, 0.0])
