@@ -248,6 +248,31 @@ def main(argv=None):
             nnz=coo.nnz, padding=round(eng.fused.padding_ratio, 3),
             **acc))
 
+    if not skip("c8"):
+        # config 8: billion-nnz single-chip capacity demo — 50M x 1024,
+        # ~975M nnz, 4.3 GB packed stream resident in one chip's HBM
+        # (the reference's largest run is 250M nnz on the full U280).
+        # Generation + pack ~18 min; skip with --configs c1..c7.
+        t0 = time.time()
+        coo = create_sparse_matrix(50_000_000 // scale, 1024, 20, "gamma",
+                                   seed=1)
+        gen_s = time.time() - t0
+        t0 = time.time()
+        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i4s",
+                                           width_quantum=4,
+                                           rescore_pool=400))
+        pack_s = time.time() - t0
+        per = _throughput(eng, coo, nq=12)
+        acc = _accuracy(eng, coo, trials=1)
+        record("c8_50M_1Gnnz_i4s", dict(
+            per_query_ms=round(per * 1e3, 3),
+            gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
+            hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
+            nnz=coo.nnz, hbm_gb=round(eng.hbm_bytes / 1e9, 2),
+            pack_seconds=round(pack_s, 1), gen_seconds=round(gen_s, 1),
+            **acc))
+        del eng, coo
+
     with open("RESULTS.json", "w") as f:
         json.dump(results, f, indent=2)
     _write_md(results)
