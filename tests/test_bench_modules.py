@@ -1,0 +1,53 @@
+"""Smoke tests for the benchmark/figure modules (bench/sweep, bench/plots,
+bench/cpu_baseline): the TPU counterparts of the reference's sweep driver
+(test_spmv_topk.py) and plotting suite (src/resources/python/plotting/)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from spmv_topk_tpu.formats import create_sparse_matrix
+
+
+def test_sweep_then_plots(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from spmv_topk_tpu.bench.sweep import run_sweep
+    from spmv_topk_tpu.bench import plots
+
+    out = str(tmp_path / "results")
+    summary = run_sweep([1500], [256], ["uniform"], [8], k=20,
+                        num_tests=3, out_dir=out)
+    assert len(summary) == 1
+    assert summary[0]["precision"] >= 0.95
+    csvs = glob.glob(os.path.join(out, "*.csv"))
+    assert len(csvs) == 1
+    # reference CSV naming convention (plot_errors.py:52)
+    assert os.path.basename(csvs[0]).startswith("tpu-f32_1500_256_uniform_8")
+
+    df = plots.load_results(out)
+    assert len(df) == 3                 # one row per iteration
+    assert df["config"].nunique() == 1
+    pdir = str(tmp_path / "plots")
+    os.makedirs(pdir, exist_ok=True)
+    plots.plot_exec_time(df, pdir)
+    plots.plot_errors(df, pdir)
+    plots.plot_roofline(df, pdir)
+    made = glob.glob(os.path.join(pdir, "*.png"))
+    assert len(made) >= 3
+
+
+def test_cpu_baseline():
+    from spmv_topk_tpu.bench.cpu_baseline import topk_cpu
+
+    coo = create_sparse_matrix(2000, 256, 8, "uniform", seed=40)
+    rng = np.random.default_rng(41)
+    q = rng.standard_normal(256).astype(np.float32)
+    q /= np.linalg.norm(q)
+    idx, vals = topk_cpu(coo.to_scipy(), q, 25)
+    dense = coo.to_scipy() @ q
+    gold = np.argsort(-dense)[:25]
+    assert set(idx.tolist()) == set(gold.tolist())
