@@ -47,13 +47,15 @@ K = 100
 def main():
     t0 = time.time()
     coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
-    # i4s query codec: the sweep decodes at the HBM streaming ceiling
-    # (one lane-gather per chunk); exact ranking is restored by host CSR
-    # rescoring of the top-400 candidate pool — the same split as the
-    # reference, whose headline times the kernel sweep and merges/checks
-    # on the host (host_spmv_bscsr.cpp:323-352, read_result :399-448).
+    # h16 codec: TWO nnz per 32-bit word (10-bit col + 6-bit value
+    # halves, int4x8 query table) — half the HBM bytes per nnz, the TPU
+    # analog of the reference's 20-bit BSCSR raising B from 11 to 15
+    # (types.hpp:71-73). Exact ranking is restored by host CSR rescoring
+    # of the top-400 candidate pool — the same split as the reference,
+    # whose headline times the kernel sweep and merges/checks on the
+    # host (host_spmv_bscsr.cpp:323-352, read_result :399-448).
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
-                         query_codec="i4s", width_quantum=4,
+                         query_codec="h16", width_quantum=4,
                          rescore_pool=400)
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
@@ -183,7 +185,7 @@ def main():
         "per_query_ms": round(per_query * 1e3, 3),
         "hbm_gbps": round(hbm_gbps, 1),
         "precision_at_100": precision,
-        "precision_raw_i4s": precision_raw,
+        "precision_raw_h16": precision_raw,
         "rescore_host_ms": round(rescore_ms, 3),
         "per_query_e2e_ms": round(per_query * 1e3 + rescore_ms, 3),
         "batch16_gnnz_per_query": round(coo.nnz / per_query_batch / 1e9, 2),

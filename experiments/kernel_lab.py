@@ -181,8 +181,28 @@ def body_i8s_int(tab_ref, w, bcs):
     return pltpu.bitcast(prod, jnp.float32)
 
 
+def body_h16(tab_ref, w, bcs):
+    """2-nnz-per-word candidate format: each 16-bit half packs
+    col[0:10) + val6[10:16); query via the single-row int4x8 table.
+    Doubles nnz/byte; measures whether the doubled decode ops hide
+    under the DMA floor. (Lab cost model only — indices are random.)"""
+    h1 = jax.lax.shift_right_logical(w, 16)
+    lo0 = w & 0x7F
+    g0 = jnp.take_along_axis(bcs[0], lo0, axis=1)
+    g1 = jnp.take_along_axis(bcs[0], h1 & 0x7F, axis=1)
+    sh0 = jax.lax.shift_right_logical(w, 5) & 28
+    sh1 = jax.lax.shift_right_logical(w, 21) & 28
+    n0 = (jax.lax.shift_right_logical(g0, sh0) & 0xF) - 8
+    n1 = (jax.lax.shift_right_logical(g1, sh1) & 0xF) - 8
+    v0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w, 16), 26)
+    v1 = jax.lax.shift_right_arithmetic(w, 26)
+    p = v0 * n0 + v1 * n1
+    return pltpu.bitcast(p, jnp.float32)
+
+
 VARIANTS = {
     "stream": (body_stream, 1),
+    "h16": (body_h16, 1),
     "f32": (body_f32, 8),
     "int8": (body_int8, 2),
     "i8s": (body_i8s, 2),

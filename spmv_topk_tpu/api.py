@@ -126,12 +126,14 @@ class TopKSpMV:
             self.sell = pack_sell_buckets(matrix, config)
             self.fused = fuse_buckets(
                 self.sell, block_sublanes=config.fused_block_sublanes)
+            self._value_scale = self.fused.value_scale
             self._fwords = jax.device_put(self.fused.words, device)
             self._fnreal = jax.device_put(self.fused.nreal, device)
             self._row_ids = jax.device_put(self.sell.row_ids, device)
             self._bwords_cache = None
 
         elif config.layout == "streamed":
+            self._value_scale = 1.0
             self.sell = pack_sell(matrix, config)
             cpb = config.block_sublanes // config.chunk_sublanes
             self._words = jax.device_put(self.sell.words, device)
@@ -163,7 +165,7 @@ class TopKSpMV:
         meta = dict(config=cfg, block_sublanes=f.block_sublanes,
                     num_blocks=f.num_blocks, num_rows=f.num_rows,
                     num_cols=f.num_cols, num_nnz=f.num_nnz,
-                    format_version=1)
+                    value_scale=f.value_scale, format_version=1)
         np.savez(path, words=f.words, nreal=f.nreal, row_ids=f.row_ids,
                  plan=plan_arr, meta=np.frombuffer(
                      json.dumps(meta).encode(), np.uint8))
@@ -204,7 +206,8 @@ class TopKSpMV:
             block_sublanes=meta["block_sublanes"],
             num_blocks=meta["num_blocks"], row_ids=z["row_ids"],
             num_rows=meta["num_rows"], num_cols=meta["num_cols"],
-            num_nnz=meta["num_nnz"])
+            num_nnz=meta["num_nnz"],
+            value_scale=meta.get("value_scale", 1.0))
 
         self = cls.__new__(cls)
         self.config = config
@@ -216,6 +219,7 @@ class TopKSpMV:
         self._scipy_csr = None  # exact rescoring needs the source matrix
         self.sell = None  # per-bucket layout not persisted
         self.fused = fused
+        self._value_scale = fused.value_scale
         self._fwords = jax.device_put(fused.words, self.device)
         self._fnreal = jax.device_put(fused.nreal, self.device)
         self._row_ids = jax.device_put(fused.row_ids, self.device)
@@ -318,8 +322,9 @@ class TopKSpMV:
         idx, vals = finalize_topk(topv, topt, self._row_ids, k=pool)
         if rescore_pool:
             return self._rescore(np.asarray(idx), vec, k)
-        if self._last_scale != 1.0:
-            vals = vals * self._last_scale
+        scale = self._last_scale * self._value_scale
+        if scale != 1.0:
+            vals = vals * scale
         return idx, vals
 
     def batch_candidates_traceable(self, tables):
@@ -374,7 +379,8 @@ class TopKSpMV:
             tabs, scales = zip(*(self._table(q) for q in chunk))
             tv, tt = self.batch_candidates_traceable(jnp.stack(tabs))
             idx, vals = self._jit_batch_finalize(tv, tt, self._row_ids)
-            vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
+            vals = vals * (jnp.asarray(scales, jnp.float32)[:, None]
+                           * self._value_scale)
             idx_all.append(idx[:n_real])
             val_all.append(vals[:n_real])
         idx, vals = jnp.concatenate(idx_all), jnp.concatenate(val_all)
@@ -412,7 +418,7 @@ class TopKSpMV:
             ))[: b.num_slices]
             ids = row_ids[b.slice_base:b.slice_base + b.num_slices]
             real = ids >= 0
-            out[ids[real]] = s[real] * scale
+            out[ids[real]] = s[real] * (scale * self._value_scale)
         return out
 
     # -- accounting ---------------------------------------------------------

@@ -135,11 +135,12 @@ def main(argv=None):
     # (the f32 codec's 8-pass gather x 16 quantum-4 branches is a
     # pathologically large Mosaic compile through the remote tunnel;
     # exact-codec accuracy is covered by config 1)
-    for codec in () if skip("c2") else ("i8s", "i4s"):
+    for codec in () if skip("c2") else ("i8s", "i4s", "h16"):
         coo = corpus_1m()
-        # i4s is the production fast mode: sweep at the stream ceiling,
-        # exact host rescore of the top-400 pool restores precision 1.0
-        pool = 400 if codec == "i4s" else None
+        # i4s/h16 are the production fast modes (h16: 2 nnz/word, half
+        # the HBM bytes); the exact host rescore of the top-400 pool
+        # restores precision 1.0
+        pool = 400 if codec in ("i4s", "h16") else None
         eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec=codec,
                                            width_quantum=4,
                                            rescore_pool=pool))

@@ -99,6 +99,8 @@ class TopKSpMVConfig:
     #    share a boundary chunk, folded with static sublane splits — fused
     #    kernels only: scores() requires quantum 8)
     query_codec: str = "f32"        # "f32" (exact) | "i8s"/"i4s"/"int8x4"
+    #   | "h16" (2 nnz per word: 10-bit col + 6-bit value halves, i4s
+    #   query table — halves HBM bytes/nnz; pair with rescore_pool)
     tie_safe_topk: bool = False     # True: keep first-of-ties in the lane
     #   Top-K buffers (the reference's exact argmin semantics) at ~9% kernel
     #   cost; False (default) may keep only one of an exactly-tied pair —
@@ -125,7 +127,10 @@ class TopKSpMVConfig:
                              "(table-row select is a single sign bit)")
         if self.query_codec == "i4s" and self.max_cols > 2048:
             raise ValueError("i4s codec supports max_cols <= 2048")
-        if self.query_codec not in ("f32", "int8x4", "i8s", "i4s"):
+        if self.query_codec == "h16" and self.max_cols > 1024:
+            raise ValueError("h16 codec supports max_cols <= 1024 "
+                             "(10-bit column field)")
+        if self.query_codec not in ("f32", "int8x4", "i8s", "i4s", "h16"):
             raise ValueError(f"unknown query codec {self.query_codec!r}")
         if self.width_quantum not in (4, 8):
             raise ValueError("width_quantum must be 4 or 8")

@@ -75,6 +75,9 @@ class BucketedSellMatrix:
     num_cols: int
     num_nnz: int
     config: TopKSpMVConfig
+    value_scale: float = 1.0  # h16: global 6-bit value quantization scale
+    #   (scores from the kernel are integer sums; multiply by
+    #   value_scale * query_scale to recover dot-product units)
 
     @property
     def num_slices(self) -> int:
@@ -130,6 +133,7 @@ class FusedSellMatrix:
     num_rows: int
     num_cols: int
     num_nnz: int
+    value_scale: float = 1.0  # see BucketedSellMatrix.value_scale
 
     @property
     def hbm_bytes(self) -> int:
@@ -218,14 +222,18 @@ def fuse_buckets(m: BucketedSellMatrix, block_sublanes: int = 1024,
         nreal=np.asarray(nreal, np.int32).reshape(-1, 1),
         block_sublanes=tgt, num_blocks=blk,
         row_ids=m.row_ids, num_rows=m.num_rows, num_cols=m.num_cols,
-        num_nnz=m.num_nnz,
+        num_nnz=m.num_nnz, value_scale=m.value_scale,
     )
 
 
 def pack_sell_buckets(
     coo: CooMatrix, config: TopKSpMVConfig = DEFAULT_CONFIG,
     target_block_sublanes: int | None = None,
+    value_scale: float | None = None,
 ) -> BucketedSellMatrix:
+    """value_scale: h16 only — the global 6-bit value quantization scale.
+    None computes it from this matrix; sharded engines pass the global
+    max so per-shard scores stay comparable across devices."""
     if coo.num_cols > config.max_cols:
         raise ValueError(
             f"matrix has {coo.num_cols} cols > config.max_cols={config.max_cols}"
@@ -236,25 +244,39 @@ def pack_sell_buckets(
 
     S = config.chunk_sublanes
     tgt = target_block_sublanes or config.block_sublanes
+    h16 = config.query_codec == "h16"
 
     degrees = coo.row_degrees()
     num_slices = -(-coo.num_rows // LANES)
     pad_rows = num_slices * LANES - coo.num_rows
-    vals_q = quantize_values(coo.vals, config.value_format)
+    vals_q = None if h16 else quantize_values(coo.vals, config.value_format)
 
     row_start = np.zeros(coo.num_rows + 1, dtype=np.int64)
     np.cumsum(degrees, out=row_start[1:])
 
+    if h16:
+        # h16 pairs two consecutive nnz of a row per 32-bit word: slice
+        # widths, plan, and scatter all operate on WORD degrees
+        # ceil(d/2); values are 6-bit signed with one global scale.
+        if value_scale is None:
+            vmax = float(np.max(np.abs(coo.vals))) if coo.nnz else 1.0
+            value_scale = (vmax / 31.0) or 1.0
+        plan_degrees = (-(-degrees // 2)).astype(np.int32)
+    else:
+        value_scale = 1.0
+        plan_degrees = degrees
+
     Q = config.width_quantum
-    plan = native.sell_plan(degrees, Q, config.sigma_sort)
+    plan = native.sell_plan(plan_degrees, Q, config.sigma_sort)
     if plan is not None:
         perm, rank_of_row, slice_w = plan
     else:
-        perm = (np.argsort(-degrees, kind="stable") if config.sigma_sort
+        perm = (np.argsort(-plan_degrees, kind="stable") if config.sigma_sort
                 else np.arange(coo.num_rows))
         rank_of_row = np.empty(coo.num_rows, dtype=np.int64)
         rank_of_row[perm] = np.arange(coo.num_rows)
-        deg_padded = np.concatenate([degrees[perm], np.zeros(pad_rows, np.int32)])
+        deg_padded = np.concatenate(
+            [plan_degrees[perm], np.zeros(pad_rows, np.int32)])
         slice_w = deg_padded.reshape(num_slices, LANES).max(axis=1)
         slice_w = np.maximum(-(-slice_w // Q) * Q, Q)
 
@@ -296,10 +318,14 @@ def pack_sell_buckets(
     total_sub = int(slice_off[-1])
 
     # Scatter all nnz once into the quantized-width global slab.
-    words = native.sell_scatter(
-        coo.rows, coo.cols, vals_q, row_start, rank_of_row, slice_off,
-        total_sub,
-    )
+    if h16:
+        words = _scatter_h16(coo, degrees, row_start, rank_of_row,
+                             slice_off, total_sub, value_scale)
+    else:
+        words = native.sell_scatter(
+            coo.rows, coo.cols, vals_q, row_start, rank_of_row, slice_off,
+            total_sub,
+        )
     if words is None:
         slice_of_row = rank_of_row // LANES
         lane_of_row = rank_of_row % LANES
@@ -345,5 +371,43 @@ def pack_sell_buckets(
     return BucketedSellMatrix(
         buckets=buckets, row_ids=row_ids,
         num_rows=coo.num_rows, num_cols=coo.num_cols, num_nnz=coo.nnz,
-        config=config,
+        config=config, value_scale=value_scale,
     )
+
+
+def _scatter_h16(coo: CooMatrix, degrees, row_start, rank_of_row,
+                 slice_off, total_sub, value_scale: float) -> np.ndarray:
+    """Pair-pack the COO for the h16 codec.
+
+    Word layout (2 nnz per int32):
+      bits [ 0:10)  col of nnz 2p      [10:16)  val6 of nnz 2p
+      bits [16:26)  col of nnz 2p+1    [26:32)  val6 of nnz 2p+1
+    val6 = two's-complement round(val / value_scale) in [-31, 31]; an odd
+    row degree leaves the high half 0 (val6=0 contributes nothing, any
+    col is safe). Slice geometry uses word degrees ceil(d/2).
+    """
+    v6 = np.clip(np.rint(coo.vals / value_scale), -31, 31).astype(np.int64)
+    halves = (coo.cols.astype(np.uint32)
+              | ((v6 & 0x3F).astype(np.uint32) << np.uint32(10)))
+
+    pair_degrees = -(-degrees.astype(np.int64) // 2)
+    pair_start = np.zeros(coo.num_rows + 1, np.int64)
+    np.cumsum(pair_degrees, out=pair_start[1:])
+    total_pairs = int(pair_start[-1])
+
+    within = np.arange(coo.nnz, dtype=np.int64) - row_start[coo.rows]
+    pid = pair_start[coo.rows] + (within >> 1)
+    hi = (within & 1).astype(bool)
+    pw = np.zeros(total_pairs, np.uint32)
+    pw[pid[~hi]] = halves[~hi]            # exactly one low half per pair
+    pw[pid[hi]] |= halves[hi] << np.uint32(16)
+
+    pair_rows = np.repeat(
+        np.arange(coo.num_rows, dtype=np.int64), pair_degrees)
+    within_pair = np.arange(total_pairs, dtype=np.int64) \
+        - pair_start[pair_rows]
+    rk = rank_of_row[pair_rows]
+    dest_sub = slice_off[rk // LANES] + within_pair
+    w32 = np.zeros((total_sub, LANES), np.uint32)
+    w32[dest_sub, rk % LANES] = pw
+    return w32.view(np.int32)

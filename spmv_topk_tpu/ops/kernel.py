@@ -224,6 +224,50 @@ def _codec_gather(codec: str):
     raise ValueError(f"unknown query codec {codec!r}")
 
 
+def _prod_h16(bcs, w, mask_lanes=True):
+    """Per-chunk score contribution for the h16 codec: TWO nnz per word.
+
+    Word layout (formats/sell_buckets.py::_scatter_h16): each 16-bit half
+    is col[0:10) | val6[10:16). Query via the single-row int4x8 table
+    (pack_query_i4s): lane = col & 127 (the hardware gather wraps mod
+    128, so the unmasked low/high half indexes directly), nibble select
+    = (col >> 7) * 4 extracted straight from the word bits. Scores are
+    integer val6 * q4 sums; the engine multiplies by
+    value_scale * query_scale at finalize. Halves HBM bytes per nnz —
+    the TPU analog of the reference's 20-bit BSCSR packets raising B
+    from 11 to 15 (types.hpp:71-73)."""
+    if len(bcs) != 1:
+        raise ValueError("h16 codec supports max_cols <= 1024")
+    bc = bcs[0]
+    h1 = jax.lax.shift_right_logical(w, 16)
+    i0 = w & 0x7F          # w may be negative (half1 sign bit): mask always
+    i1 = (h1 & 0x7F) if mask_lanes else h1  # logical shift: wrap-safe on HW
+    g0 = jnp.take_along_axis(bc, i0, axis=1)
+    g1 = jnp.take_along_axis(bc, i1, axis=1)
+    sh0 = jax.lax.shift_right_logical(w, 5) & 28
+    sh1 = jax.lax.shift_right_logical(w, 21) & 28
+    # two's-complement nibble sign extension via the xor trick
+    n0 = ((jax.lax.shift_right_logical(g0, sh0) & 0xF) ^ 8) - 8
+    n1 = ((jax.lax.shift_right_logical(g1, sh1) & 0xF) ^ 8) - 8
+    v0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w, 16), 26)
+    v1 = jax.lax.shift_right_arithmetic(w, 26)
+    return (v0 * n0 + v1 * n1).astype(jnp.float32)
+
+
+def _codec_prod(codec: str):
+    """(bcs, w, sublanes, mask_lanes) -> per-element score contribution.
+
+    Default codecs: decoded bf16 value times the gathered query entry.
+    h16 computes the full two-nnz product itself (no separate value
+    decode)."""
+    if codec == "h16":
+        return lambda bcs, w, sublanes, mask_lanes=True: \
+            _prod_h16(bcs, w, mask_lanes)
+    g = _codec_gather(codec)
+    return lambda bcs, w, sublanes, mask_lanes=True: \
+        _decode_val(w) * g(bcs, w, sublanes, mask_lanes)
+
+
 def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                    tv, tt, *, cfg: TopKSpMVConfig, num_groups: int,
                    width: int, slices_per_block: int, slice_base: int,
@@ -247,7 +291,7 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     shape = (S, LANES)
     bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
            for c in range(tab_ref.shape[0])]
-    gather = _codec_gather(codec)
+    prod = _codec_prod(codec)
 
     def do_slice(j):
         # Two independent accumulators break the serial add chain so the
@@ -257,7 +301,7 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         for u in range(width // S):
             w = words_ref[pl.ds(j * width + u * S, S), :]
             accs[u % n_acc] = (
-                accs[u % n_acc] + _decode_val(w) * gather(bcs, w, S, mask_lanes)
+                accs[u % n_acc] + prod(bcs, w, S, mask_lanes)
             )
         acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
         score = jnp.sum(acc, axis=0, keepdims=True)          # (1, 128)
@@ -317,7 +361,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     shape = (S, LANES)
     bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
            for c in range(tab_ref.shape[0])]
-    gather = _codec_gather(codec)
+    prod = _codec_prod(codec)
 
     for bi, pb in enumerate(plan):
         W = pb.width
@@ -330,7 +374,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
             def prod_at(sub):
                 w = words_ref[pl.ds(sub, S), :]
-                return _decode_val(w) * gather(bcs, w, S, mask_lanes)
+                return prod(bcs, w, S, mask_lanes)
 
             def sum_span(sub0, n_chunks, extra=None):
                 """Sum of n_chunks full chunks starting at sublane sub0
@@ -403,7 +447,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 for u in range(block_sublanes // S):
                     w = words_ref[pl.ds(u * S, S), :]
                     accs[u % 2] = accs[u % 2] + \
-                        _decode_val(w) * gather(bcs, w, S, mask_lanes)
+                        prod(bcs, w, S, mask_lanes)
                 part = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
                 off = i - pb.blk_start
                 last = (off % bps) == (bps - 1)
@@ -509,7 +553,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
          for c in range(TR)]
         for q in range(Q)
     ]
-    gather = _codec_gather(codec)
+    prod = _codec_prod(codec)
 
     def fold(q, score, t, nreal, slice_base):
         score = jnp.where(t < slice_base + nreal, score, NEG_INF)
@@ -536,8 +580,9 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
             def prods_at(sub):
                 w = words_ref[pl.ds(sub, S), :]
-                val = _decode_val(w)
-                return [val * gather(bcs_q[q], w, S, mask_lanes)
+                # per-query prod; the word-decode subexpressions are
+                # identical across q and CSE'd by Mosaic
+                return [prod(bcs_q[q], w, S, mask_lanes)
                         for q in range(Q)]
 
             def sums_span(sub0, n_chunks, extras=None):
@@ -600,9 +645,8 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
                 for u in range(block_sublanes // S):
                     w = words_ref[pl.ds(u * S, S), :]
-                    val = _decode_val(w)
                     for q in range(Q):
-                        accs[q] = accs[q] + val * gather(
+                        accs[q] = accs[q] + prod(
                             bcs_q[q], w, S, mask_lanes)
                 off = i - pb.blk_start
                 last = (off % bps) == (bps - 1)
@@ -689,7 +733,7 @@ def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,
     shape = (S, LANES)
     bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
            for c in range(tab_ref.shape[0])]
-    gather = _codec_gather(codec)
+    prod = _codec_prod(codec)
 
     def do_slice(j):
         n_acc = 2 if width // S >= 2 else 1
@@ -697,7 +741,7 @@ def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,
         for u in range(width // S):
             w = words_ref[pl.ds(j * width + u * S, S), :]
             accs[u % n_acc] = (
-                accs[u % n_acc] + _decode_val(w) * gather(bcs, w, S, mask_lanes)
+                accs[u % n_acc] + prod(bcs, w, S, mask_lanes)
             )
         acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
         out_ref[j, :] = jnp.sum(acc, axis=0)
@@ -769,15 +813,14 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
          for c in range(TR)]
         for q in range(Q)
     ]
-    gather = _codec_gather(codec)
+    prod = _codec_prod(codec)
 
     def do_slice(j):
         accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
         for u in range(width // S):
             w = words_ref[pl.ds(j * width + u * S, S), :]
-            val = _decode_val(w)
             for q in range(Q):
-                accs[q] = accs[q] + val * gather(bcs_q[q], w, S, mask_lanes)
+                accs[q] = accs[q] + prod(bcs_q[q], w, S, mask_lanes)
         t = slice_base + i * slices_per_block + j
         for q in range(Q):
             score = jnp.sum(accs[q], axis=0, keepdims=True)

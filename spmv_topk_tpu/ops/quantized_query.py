@@ -110,6 +110,10 @@ def pack_query_table(vec_padded: np.ndarray, codec: str):
         return pack_query_i8s(vec_padded)
     if codec == "i4s":
         return pack_query_i4s(vec_padded)
+    if codec == "h16":
+        # matrix words carry 2 nnz each (col + 6-bit value halves); the
+        # query side is the int4x8 single-row table
+        return pack_query_i4s(vec_padded)
     raise ValueError(f"unknown query codec {codec!r}")
 
 
@@ -119,7 +123,9 @@ def validate_codec(codec: str, max_cols: int) -> None:
                          "(table-row select is a single sign bit)")
     if codec == "i4s" and max_cols > 2048:
         raise ValueError("i4s codec supports max_cols <= 2048")
-    if codec not in ("f32", "int8x4", "i8s", "i4s"):
+    if codec == "h16" and max_cols > 1024:
+        raise ValueError("h16 codec supports max_cols <= 1024")
+    if codec not in ("f32", "int8x4", "i8s", "i4s", "h16"):
         raise ValueError(f"unknown query codec {codec!r}")
 
 

@@ -64,6 +64,15 @@ class ShardedBucketedTopKSpMV:
         self._scipy_csr = (matrix.to_scipy() if config.rescore_pool
                            else None)
 
+        # h16 quantizes values with ONE global scale so per-shard scores
+        # stay comparable across devices at the merge
+        self._value_scale = 1.0
+        vscale = None
+        if config.query_codec == "h16":
+            vmax = float(np.max(np.abs(matrix.vals))) if matrix.nnz else 1.0
+            vscale = (vmax / 31.0) or 1.0
+            self._value_scale = vscale
+
         rows_per_shard = -(-matrix.num_rows // D)
         packs = []
         for d in range(D):
@@ -72,7 +81,8 @@ class ShardedBucketedTopKSpMV:
             local = matrix.row_slice(lo, hi)
             if local.num_rows <= 0 or local.nnz == 0:
                 raise ValueError(f"shard {d} is empty ({D} devices)")
-            packs.append((lo, pack_sell_buckets(local, config)))
+            packs.append((lo, pack_sell_buckets(local, config,
+                                                value_scale=vscale)))
 
         # Common skeleton for the fused plan: widths sorted desc (matching
         # each shard's own ordering), per-width block maxima across shards.
@@ -198,6 +208,7 @@ class ShardedBucketedTopKSpMV:
             from ..api import exact_rescore
 
             return exact_rescore(self._scipy_csr, np.asarray(idx), vec, k)
+        scale = scale * self._value_scale
         if scale != 1.0:
             vals = vals * scale
         if k != self._merge_k:
@@ -281,7 +292,8 @@ class ShardedBucketedTopKSpMV:
             tabs, scales = zip(*(self._table(q) for q in chunk))
             idx, vals = fn(self._nreal, self._row_ids,
                            jnp.stack(tabs), self._words)
-            vals = vals * jnp.asarray(scales, jnp.float32)[:, None]
+            vals = vals * (jnp.asarray(scales, jnp.float32)[:, None]
+                           * self._value_scale)
             if self._scipy_csr is not None:
                 from ..api import exact_rescore
 
