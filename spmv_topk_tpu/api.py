@@ -116,9 +116,13 @@ class TopKSpMV:
 
         self._scipy_csr = None
         if config.rescore_pool:
-            # keep the exact matrix host-side for candidate re-ranking
-            # (scipy CSR: fancy row indexing + dot are C loops)
-            self._scipy_csr = matrix.to_scipy()
+            # keep the exact matrix host-side for candidate re-ranking.
+            # Wrap the (data, indices, indptr) triple directly: scipy's
+            # COO->CSR conversion materializes a full copy (~20 GB at 2G
+            # nnz), while the sorted COO's arrays can back the CSR as-is
+            # (duplicate (row, col) entries stay separate — the rescore
+            # dot sums them, same semantics).
+            self._scipy_csr = matrix.to_scipy_csr()
 
         if config.layout == "bucketed":
             from .formats.sell_buckets import pack_sell_buckets, fuse_buckets

@@ -67,6 +67,18 @@ class CooMatrix:
             shape=(self.num_rows, self.num_cols),
         )
 
+    def to_scipy_csr(self):
+        """CSR backed by this COO's arrays — no data copy when already
+        row-major sorted (scipy's COO->CSR conversion materializes a
+        full copy, ~20 GB at 2G nnz). Duplicate (row, col) entries stay
+        separate; dot products sum them, same semantics as to_scipy()."""
+        import scipy.sparse as sp
+
+        m = self if self.is_sorted_row_major() else self.sort_row_major()
+        row_ptr, cols, vals = m.to_csr()
+        return sp.csr_matrix(
+            (vals, cols, row_ptr), shape=(m.num_rows, m.num_cols))
+
     def to_dense(self) -> np.ndarray:
         dense = np.zeros((self.num_rows, self.num_cols), dtype=np.float32)
         np.add.at(dense, (self.rows, self.cols), self.vals)

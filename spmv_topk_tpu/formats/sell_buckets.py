@@ -386,28 +386,36 @@ def _scatter_h16(coo: CooMatrix, degrees, row_start, rank_of_row,
     row degree leaves the high half 0 (val6=0 contributes nothing, any
     col is safe). Slice geometry uses word degrees ceil(d/2).
     """
-    v6 = np.clip(np.rint(coo.vals / value_scale), -31, 31).astype(np.int64)
+    # memory hygiene: a 100M-row corpus (~2G nnz) peaks near host RAM —
+    # keep temporaries int32 where ranges allow and free them eagerly
+    v6 = np.clip(np.rint(coo.vals * np.float32(1.0 / value_scale)),
+                 -31, 31).astype(np.int32)
     halves = (coo.cols.astype(np.uint32)
               | ((v6 & 0x3F).astype(np.uint32) << np.uint32(10)))
+    del v6
 
     pair_degrees = -(-degrees.astype(np.int64) // 2)
     pair_start = np.zeros(coo.num_rows + 1, np.int64)
     np.cumsum(pair_degrees, out=pair_start[1:])
     total_pairs = int(pair_start[-1])
 
-    within = np.arange(coo.nnz, dtype=np.int64) - row_start[coo.rows]
+    within = np.arange(coo.nnz, dtype=np.int64)
+    within -= row_start[coo.rows]
     pid = pair_start[coo.rows] + (within >> 1)
     hi = (within & 1).astype(bool)
+    del within
     pw = np.zeros(total_pairs, np.uint32)
     pw[pid[~hi]] = halves[~hi]            # exactly one low half per pair
     pw[pid[hi]] |= halves[hi] << np.uint32(16)
+    del pid, hi, halves
 
     pair_rows = np.repeat(
-        np.arange(coo.num_rows, dtype=np.int64), pair_degrees)
-    within_pair = np.arange(total_pairs, dtype=np.int64) \
-        - pair_start[pair_rows]
+        np.arange(coo.num_rows, dtype=np.int32), pair_degrees)
     rk = rank_of_row[pair_rows]
-    dest_sub = slice_off[rk // LANES] + within_pair
+    dest_sub = np.arange(total_pairs, dtype=np.int64)
+    dest_sub -= pair_start[pair_rows]
+    del pair_rows
+    dest_sub += slice_off[rk // LANES]
     w32 = np.zeros((total_sub, LANES), np.uint32)
     w32[dest_sub, rk % LANES] = pw
     return w32.view(np.int32)

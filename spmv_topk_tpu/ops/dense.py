@@ -133,7 +133,7 @@ class DenseTopKSpMV:
         # exact rescoring (same semantics as TopKSpMV): keep the host CSR
         # and re-rank the top max(k, pool) bf16/approx_max_k candidates
         # with exact f32 dot products
-        self._scipy_csr = (matrix.to_scipy() if config.rescore_pool
+        self._scipy_csr = (matrix.to_scipy_csr() if config.rescore_pool
                            else None)
 
         pad_rows = (-matrix.num_rows) % self.block_rows

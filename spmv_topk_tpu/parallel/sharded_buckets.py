@@ -61,7 +61,7 @@ class ShardedBucketedTopKSpMV:
         # Merge width: widened to the rescore pool so the host re-ranking
         # has enough exact candidates (see api.TopKSpMV._rescore).
         self._merge_k = max(config.k, config.rescore_pool or 0)
-        self._scipy_csr = (matrix.to_scipy() if config.rescore_pool
+        self._scipy_csr = (matrix.to_scipy_csr() if config.rescore_pool
                            else None)
 
         # h16 quantizes values with ONE global scale so per-shard scores

@@ -47,7 +47,7 @@ class ShardedDenseTopKSpMV:
         if not matrix.is_sorted_row_major():
             matrix = matrix.sort_row_major()
 
-        self._scipy_csr = (matrix.to_scipy() if config.rescore_pool
+        self._scipy_csr = (matrix.to_scipy_csr() if config.rescore_pool
                            else None)
 
         rows_per_shard = -(-matrix.num_rows // D)
