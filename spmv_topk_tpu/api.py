@@ -170,9 +170,12 @@ class TopKSpMV:
                     num_blocks=f.num_blocks, num_rows=f.num_rows,
                     num_cols=f.num_cols, num_nnz=f.num_nnz,
                     value_scale=f.value_scale, format_version=1)
-        np.savez(path, words=f.words, nreal=f.nreal, row_ids=f.row_ids,
-                 plan=plan_arr, meta=np.frombuffer(
-                     json.dumps(meta).encode(), np.uint8))
+        # explicit file handle: np.savez(str) appends '.npz' when the
+        # suffix is missing, but load() opens the literal path
+        with open(path, "wb") as fh:
+            np.savez(fh, words=f.words, nreal=f.nreal, row_ids=f.row_ids,
+                     plan=plan_arr, meta=np.frombuffer(
+                         json.dumps(meta).encode(), np.uint8))
 
     @classmethod
     def load(cls, path: str, device: Optional[jax.Device] = None):
@@ -325,7 +328,9 @@ class TopKSpMV:
         pool = max(k, rescore_pool) if rescore_pool else k
         idx, vals = finalize_topk(topv, topt, self._row_ids, k=pool)
         if rescore_pool:
-            return self._rescore(np.asarray(idx), vec, k)
+            ri, rv = self._rescore(np.asarray(idx), vec, k)
+            # jax.Array return on every path (the rescore computes on host)
+            return jnp.asarray(ri), jnp.asarray(rv)
         scale = self._last_scale * self._value_scale
         if scale != 1.0:
             vals = vals * scale

@@ -22,18 +22,35 @@ from ..formats.synthetic import create_sparse_matrix, create_sample_vector
 from ..formats.mtx import read_mtx
 
 
-def topk_cpu(csr, query: np.ndarray, k: int):
+def _sparse_dot_topn_fn():
+    """Top-K via sparse_dot_topn when installed (reference's CPU anchor,
+    test_cpu.py:104), handling both the legacy awesome_cossim_topn and the
+    >=1.0 sp_matmul_topn APIs. Returns None when unavailable."""
     try:
-        import sparse_dot_topn  # noqa: F401
-        from sparse_dot_topn import awesome_cossim_topn
+        import scipy.sparse as sp
+        import sparse_dot_topn as sdt
+    except ImportError:
+        return None
 
-        res = awesome_cossim_topn(csr, np.asmatrix(query).T.tocsr(), k, 0.0)
+    def run(csr_t, query, k):
+        # top-k rows of A @ q == top_n entries of the single row q @ A^T
+        q_csr = sp.csr_matrix(query.reshape(1, -1))
+        if hasattr(sdt, "sp_matmul_topn"):           # >= 1.0 API
+            res = sdt.sp_matmul_topn(q_csr, csr_t, top_n=k, sort=True)
+        else:
+            res = sdt.awesome_cossim_topn(q_csr, csr_t, k, 0.0)
         return res.indices[:k], res.data[:k]
-    except Exception:
-        scores = csr @ query
-        idx = np.argpartition(-scores, min(k, len(scores) - 1))[:k]
-        idx = idx[np.argsort(-scores[idx], kind="stable")]
-        return idx.astype(np.int32), scores[idx].astype(np.float32)
+
+    return run
+
+
+def topk_cpu(csr, query: np.ndarray, k: int, sdt_fn=None, csr_t=None):
+    if sdt_fn is not None:
+        return sdt_fn(csr_t, query, k)
+    scores = csr @ query
+    idx = np.argpartition(-scores, min(k, len(scores) - 1))[:k]
+    idx = idx[np.argsort(-scores[idx], kind="stable")]
+    return idx.astype(np.int32), scores[idx].astype(np.float32)
 
 
 def main(argv=None):
@@ -50,17 +67,23 @@ def main(argv=None):
     coo = (read_mtx(args.matrix) if args.matrix else
            create_sparse_matrix(args.rows, args.cols, args.deg, args.dist, seed=1))
     csr = coo.to_scipy()
+    sdt_fn = _sparse_dot_topn_fn()
+    # the transpose is part of the resident index, not the per-query cost
+    csr_t = csr.T.tocsr() if sdt_fn is not None else None
 
     times = []
     for it in range(args.num_tests):
         q = create_sample_vector(coo.num_cols, seed=it)
         t0 = time.perf_counter()
-        topk_cpu(csr, q, args.k)
+        topk_cpu(csr, q, args.k, sdt_fn=sdt_fn, csr_t=csr_t)
         times.append(time.perf_counter() - t0)
     mean_s = float(np.mean(times[min(2, len(times) - 1):]))
     print(json.dumps(dict(
         metric="cpu_topk_spmv", mean_ms=round(mean_s * 1e3, 3),
         gnnz_per_sec=round(coo.nnz / mean_s / 1e9, 3), nnz=coo.nnz, k=args.k,
+        backend=("sparse_dot_topn" if sdt_fn is not None else
+                 "scipy_fallback"),
+        sparse_dot_topn_available=sdt_fn is not None,
     )))
 
 

@@ -88,8 +88,11 @@ def run_benchmark(
         readback_ms = (t1 - t_disp) * 1e3
 
         error_idx = metrics.count_positional_errors(sw_idx, hw_idx)
+        # reference tolerance regime: idx exact, values ~1e-5 abs
+        # (host_spmv_bscsr.cpp check_array_equality); quantized codecs
+        # legitimately report non-zero error_val here — that is the metric.
         error_val = int(np.sum(~np.isclose(
-            np.sort(sw_val), np.sort(hw_val), atol=1e-2)))
+            np.sort(sw_val), np.sort(hw_val), atol=1e-5, rtol=1e-4)))
         precision = metrics.precision_at_k(sw_idx, hw_idx)
         ndcg = metrics.ndcg(sw_idx, hw_idx)
         tau = metrics.kendall_tau(sw_idx, hw_idx)

@@ -101,10 +101,14 @@ class TopKSpMVConfig:
     query_codec: str = "f32"        # "f32" (exact) | "i8s"/"i4s"/"int8x4"
     #   | "h16" (2 nnz per word: 10-bit col + 6-bit value halves, i4s
     #   query table — halves HBM bytes/nnz; pair with rescore_pool)
-    tie_safe_topk: bool = False     # True: keep first-of-ties in the lane
-    #   Top-K buffers (the reference's exact argmin semantics) at ~9% kernel
-    #   cost; False (default) may keep only one of an exactly-tied pair —
-    #   set True for tie-heavy data such as pattern (-v) matrices.
+    tie_safe_topk: Optional[bool] = None  # True: keep first-of-ties in the
+    #   lane Top-K buffers (the reference's exact argmin semantics) at ~9%
+    #   kernel cost; False may keep only one of an exactly-tied pair.
+    #   None (default) resolves at construction: True for tie-heavy score
+    #   domains — the h16 codec without a rescore pool (small-integer
+    #   scores, exact min-ties common) — and False otherwise (continuous
+    #   scores, or a rescore pool that re-ranks exactly anyway). Set True
+    #   explicitly for tie-heavy data such as pattern (-v) matrices.
     rescore_pool: Optional[int] = None  # exact rescoring: keep the host CSR
     #   at build time and, per query, re-rank the top max(k, rescore_pool)
     #   device candidates with exact f32 dot products. Restores ~exact
@@ -116,6 +120,12 @@ class TopKSpMVConfig:
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
     def __post_init__(self):
+        if self.tie_safe_topk is None:
+            # ONE tie behavior per engine, every kernel honors it (see
+            # tie_safe_topk docstring for the resolution rule).
+            object.__setattr__(
+                self, "tie_safe_topk",
+                self.query_codec == "h16" and not self.rescore_pool)
         if self.max_cols % LANES != 0:
             raise ValueError(f"max_cols must be a multiple of {LANES}")
         if self.block_sublanes % self.chunk_sublanes != 0:

@@ -159,18 +159,31 @@ def fuse_buckets(m: BucketedSellMatrix, block_sublanes: int = 1024,
     the caller's row_ids must use the same numbering).
     """
     tgt = block_sublanes
-    have = {b.width: b for b in m.buckets}
     if skeleton is None:
-        shape = [(b.width, None, b.slice_base) for b in m.buckets]
+        # Pair each bucket with its own shape entry POSITIONALLY: with
+        # sigma_sort=False, widths are non-monotone and several buckets may
+        # share a width — a width-keyed dict would fill every same-width
+        # plan entry with the LAST such bucket's words.
+        shape = [(b.width, None, b.slice_base, b) for b in m.buckets]
     else:
-        shape = list(skeleton)
+        # Skeleton mode keys buckets by width, which requires widths to be
+        # unique per shard (guaranteed by sigma_sort: widths are monotone
+        # non-increasing, so equal-W slices form ONE contiguous run).
+        have = {}
+        for b in m.buckets:
+            if b.width in have:
+                raise ValueError(
+                    "fuse_buckets(skeleton=...) needs unique bucket widths "
+                    f"(width {b.width} appears twice; pack with "
+                    "sigma_sort=True for sharded engines)")
+            have[b.width] = b
+        shape = [(w, nb, sb, have.get(w)) for w, nb, sb in skeleton]
 
     plan = []
     chunks = []
     nreal = []
     blk = 0
-    for width, want_blocks, slice_base in shape:
-        b = have.get(width)
+    for width, want_blocks, slice_base, b in shape:
         if width <= tgt:
             spb = tgt // width
             bps = 1

@@ -115,6 +115,7 @@ def _topk_update(tv, tt, score, slice_idx, lane_k, tie_safe=False):
 
 def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
             acc, tv, tt, *, cfg: TopKSpMVConfig, num_groups: int):
+    tie_safe = cfg.tie_safe_topk
     i = pl.program_id(1)
     S = cfg.chunk_sublanes
     K = cfg.lane_k
@@ -122,7 +123,8 @@ def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
     @pl.when(i == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
-        tv[:] = jnp.full_like(tv, NEG_INF)
+        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
+                 else _topk_init(tv.shape[0]))
         tt[:] = jnp.zeros_like(tt)
 
     for s in range(cfg.block_sublanes // S):
@@ -137,7 +139,7 @@ def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
         def _():
             score = jnp.sum(acc[:], axis=0, keepdims=True)          # (1, 128)
             acc[:] = jnp.zeros_like(acc)
-            _topk_update(tv, tt, score, m >> 1, K, tie_safe=True)
+            _topk_update(tv, tt, score, m >> 1, K, tie_safe=tie_safe)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -279,13 +281,15 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     compile-time cadence — the streamed layout's per-sub-chunk metadata
     branch measured ~2.5x slower on v5e.
     """
+    tie_safe = cfg.tie_safe_topk
     i = pl.program_id(0)
     S = cfg.chunk_sublanes
     K = cfg.lane_k
 
     @pl.when(i == 0)
     def _():
-        tv[:] = jnp.full_like(tv, NEG_INF)
+        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
+                 else _topk_init(tv.shape[0]))
         tt[:] = jnp.zeros_like(tt)
 
     shape = (S, LANES)
@@ -311,7 +315,7 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         # compiled kernel) must not displace real candidates: mask to
         # -inf (scalar compare, branch-free).
         score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
-        _topk_update(tv, tt, score, t, K, tie_safe=True)
+        _topk_update(tv, tt, score, t, K, tie_safe=tie_safe)
 
     # Full unrolling of many-slice blocks explodes Mosaic compile time
     # (remote compiles cost tens of seconds); loop when the body is big.
@@ -796,6 +800,7 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     sub-chunk and all queries' gathers share it (the SpMM analog of
     multi_spmv_gold, gold_algorithms.hpp:21-35 — here the batch amortizes
     both HBM traffic and the word decode)."""
+    tie_safe = cfg.tie_safe_topk
     i = pl.program_id(0)
     S = cfg.chunk_sublanes
     K = cfg.lane_k
@@ -804,7 +809,8 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
     @pl.when(i == 0)
     def _():
-        tv[:] = jnp.full_like(tv, NEG_INF)
+        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
+                 else jnp.broadcast_to(_topk_init(K), tv.shape))
         tt[:] = jnp.zeros_like(tt)
 
     shape = (S, LANES)
@@ -828,10 +834,13 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
             # per-query Top-K buffers live at tv[q], tt[q]
             cur = tv[q]
             cur_min = jnp.min(cur, axis=0, keepdims=True)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
-            slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
-                           keepdims=True)
-            replace = (iota == slot) & (score >= cur_min)
+            if tie_safe:
+                iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+                slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
+                               keepdims=True)
+                replace = (iota == slot) & (score >= cur_min)
+            else:
+                replace = (cur == cur_min) & (score >= cur_min)
             tv[q] = jnp.where(replace, score, cur)
             tt[q] = jnp.where(replace, t, tt[q])
 

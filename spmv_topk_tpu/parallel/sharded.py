@@ -49,8 +49,14 @@ class _ShardArrays:
     row_ids: jax.Array  # (D, max_slices, 128) int32, globally indexed
 
 
-class ShardedTopKSpMV:
-    """Matrix-resident Top-K SpMV over a 1D device mesh (row shards)."""
+class ShardedStreamedTopKSpMV:
+    """Matrix-resident Top-K SpMV over a 1D device mesh (row shards).
+
+    DEPRECATED layout: this drives the *streamed* SELL kernel, ~2.5x
+    slower than the fused bucketed engine on v5e. `ShardedTopKSpMV` (the
+    public name) now aliases `ShardedBucketedTopKSpMV`; this class stays
+    as the second implementation for differential testing.
+    """
 
     def __init__(
         self,

@@ -207,7 +207,8 @@ class ShardedBucketedTopKSpMV:
         if self._scipy_csr is not None:
             from ..api import exact_rescore
 
-            return exact_rescore(self._scipy_csr, np.asarray(idx), vec, k)
+            ri, rv = exact_rescore(self._scipy_csr, np.asarray(idx), vec, k)
+            return jnp.asarray(ri), jnp.asarray(rv)  # jax.Array on every path
         scale = scale * self._value_scale
         if scale != 1.0:
             vals = vals * scale

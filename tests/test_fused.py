@@ -200,3 +200,62 @@ def test_tie_safe_topk_on_tied_scores():
     # must not collapse (distinct indices, exact value)
     assert len(set(idx.tolist())) == 64
     np.testing.assert_allclose(vals_out, d, atol=1e-5)
+
+
+def test_fuse_buckets_duplicate_widths_positional():
+    """ADVICE r1 (high): with sigma_sort=False quantized widths are
+    non-monotone, so several buckets can share a width; fuse_buckets must
+    pair plan entries with buckets positionally, not by a width-keyed
+    dict (which filled every same-width entry with the LAST bucket)."""
+    coo = create_sparse_matrix(3000, 512, 14, "gamma", seed=140)
+    cfg = TopKSpMVConfig(k=40, max_cols=512, sigma_sort=False,
+                         block_sublanes=128, fused_block_sublanes=128)
+    m = pack_sell_buckets(coo, cfg)
+    widths = [b.width for b in m.buckets]
+    assert len(set(widths)) < len(widths), (
+        "fixture must produce duplicate-width buckets")
+    eng = TopKSpMV(coo, cfg)
+    q = create_sample_vector(512, seed=141)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 40)
+    assert _precision(gi, ki) >= 0.97
+    np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=2e-3)
+
+
+def test_fuse_buckets_skeleton_rejects_duplicate_widths():
+    coo = create_sparse_matrix(3000, 512, 14, "gamma", seed=142)
+    cfg = TopKSpMVConfig(max_cols=512, sigma_sort=False,
+                         block_sublanes=128, fused_block_sublanes=128)
+    m = pack_sell_buckets(coo, cfg)
+    if len({b.width for b in m.buckets}) == len(m.buckets):
+        pytest.skip("fixture did not produce duplicate widths")
+    skeleton = [(b.width, 1, b.slice_base) for b in m.buckets]
+    with pytest.raises(ValueError, match="unique bucket widths"):
+        fuse_buckets(m, block_sublanes=128, skeleton=skeleton)
+
+
+def test_save_load_without_npz_suffix(tmp_path):
+    """ADVICE r1 (low): save('eng.bin') then load('eng.bin') must work
+    (np.savez silently appended '.npz' to bare-string paths)."""
+    coo = create_sparse_matrix(2000, 512, 10, "uniform", seed=143)
+    cfg = TopKSpMVConfig(k=20, max_cols=512, block_sublanes=128,
+                         fused_block_sublanes=128)
+    eng = TopKSpMV(coo, cfg)
+    p = str(tmp_path / "eng.bin")
+    eng.save(p)
+    eng2 = TopKSpMV.load(p)
+    q = create_sample_vector(512, seed=144)
+    i1, _ = map(np.asarray, eng.query(q))
+    i2, _ = map(np.asarray, eng2.query(q))
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_tie_safe_default_resolution():
+    """ADVICE r1 (medium): h16 without a rescore pool yields small-integer
+    scores where exact min-ties are common -> tie_safe defaults on; every
+    other combination keeps the fast fold."""
+    from spmv_topk_tpu.config import TopKSpMVConfig as C
+    assert C(query_codec="h16").tie_safe_topk is True
+    assert C(query_codec="h16", rescore_pool=400).tie_safe_topk is False
+    assert C().tie_safe_topk is False
+    assert C(tie_safe_topk=True).tie_safe_topk is True
