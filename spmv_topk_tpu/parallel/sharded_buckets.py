@@ -15,6 +15,18 @@ degree profiles, so a *common bucket skeleton* costs little padding:
 
 The merge is unchanged: per-device local Top-K -> all_gather of k
 (value, row) pairs over ICI/DCN -> replicated lax.top_k.
+
+Multi-process (multi-HOST) operation: each process packs ONLY the rows
+owned by its addressable devices (pass ``local_rows=(row_lo,
+global_num_rows)`` with a matrix holding just this process's row slice —
+the generalization of the reference's per-partition packing,
+host_spmv_bscsr.cpp:136-150). The bucket-width skeleton, the h16 value
+scale, and the word-buffer length are agreed across processes with one
+small ``process_allgather``; the global device arrays are assembled from
+per-process shards via ``jax.make_array_from_single_device_arrays`` so no
+host ever materializes another host's shard. Exact rescoring keeps only
+the local CSR slice per host and merges candidate scores across processes
+(the distributed analog of the host merge, host_spmv_bscsr.cpp:399-448).
 """
 
 from __future__ import annotations
@@ -25,7 +37,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..config import LANES, TopKSpMVConfig, DEFAULT_CONFIG
@@ -33,6 +45,16 @@ from ..formats.coo import CooMatrix
 from ..formats.sell_buckets import pack_sell_buckets, fuse_buckets
 from ..ops.kernel import TOPK_FLOOR
 from .sharded import AXIS, make_mesh
+
+_SKELETON_SLOTS = 256  # fixed-size allgather payload: (width, blocks) pairs
+
+
+def _process_allgather(x: np.ndarray) -> np.ndarray:
+    """All processes' copies of x, stacked on axis 0 (process order)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(
+        np.asarray(x), tiled=False))
 
 
 class ShardedBucketedTopKSpMV:
@@ -44,13 +66,27 @@ class ShardedBucketedTopKSpMV:
         config: TopKSpMVConfig = DEFAULT_CONFIG,
         mesh: Optional[Mesh] = None,
         interpret: Optional[bool] = None,
+        local_rows: Optional[tuple] = None,
     ):
-        self.mesh = mesh or make_mesh()
-        D = self.mesh.devices.size
+        """local_rows: ``(row_lo, global_num_rows)`` — `matrix` holds only
+        this process's contiguous row slice starting at global row
+        ``row_lo`` of a ``global_num_rows``-row corpus. Required shape for
+        multi-host serving (each host packs its own rows); None means
+        `matrix` is the full corpus (single process, or every process
+        loaded it)."""
+        if mesh is None:
+            if jax.process_count() > 1:
+                from .distributed import global_mesh
+
+                mesh = global_mesh()
+            else:
+                mesh = make_mesh()
+        self.mesh = mesh
+        D = int(self.mesh.devices.size)
+        nproc = jax.process_count()
+        me = jax.process_index()
         self.config = config
-        self.num_rows = matrix.num_rows
         self.num_cols = matrix.num_cols
-        self.num_nnz = matrix.nnz
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu",)
         self._interpret = interpret
@@ -58,37 +94,73 @@ class ShardedBucketedTopKSpMV:
         if not matrix.is_sorted_row_major():
             matrix = matrix.sort_row_major()
 
+        if local_rows is None:
+            row_lo, global_rows = 0, matrix.num_rows
+        else:
+            row_lo, global_rows = int(local_rows[0]), int(local_rows[1])
+        self.num_rows = global_rows
+        rows_per_shard = -(-global_rows // D)
+
+        # Device positions owned by this process. The mesh is host-major
+        # (distributed.global_mesh), so each process owns a contiguous run
+        # of shard slots.
+        flat = list(self.mesh.devices.flat)
+        my_pos = [i for i, d in enumerate(flat) if d.process_index == me]
+        if not my_pos:
+            raise ValueError(f"process {me} owns no devices of the mesh")
+
         # Merge width: widened to the rescore pool so the host re-ranking
         # has enough exact candidates (see api.TopKSpMV._rescore).
         self._merge_k = max(config.k, config.rescore_pool or 0)
-        self._scipy_csr = (matrix.to_scipy_csr() if config.rescore_pool
-                           else None)
+
+        # Rescore keeps only the LOCAL row slice of the CSR per host.
+        self._csr_lo = my_pos[0] * rows_per_shard + 0
+        self._csr_hi = min((my_pos[-1] + 1) * rows_per_shard, global_rows)
+        if config.rescore_pool:
+            lo_in_mat = self._csr_lo - row_lo
+            hi_in_mat = self._csr_hi - row_lo
+            if local_rows is None and nproc == 1:
+                self._scipy_csr = matrix.to_scipy_csr()
+                self._csr_lo, self._csr_hi = 0, global_rows
+            else:
+                self._scipy_csr = matrix.row_slice(
+                    lo_in_mat, hi_in_mat).to_scipy_csr()
+        else:
+            self._scipy_csr = None
 
         # h16 quantizes values with ONE global scale so per-shard scores
-        # stay comparable across devices at the merge
+        # stay comparable across devices at the merge.
         self._value_scale = 1.0
         vscale = None
         if config.query_codec == "h16":
-            vmax = float(np.max(np.abs(matrix.vals))) if matrix.nnz else 1.0
-            vscale = (vmax / 31.0) or 1.0
+            vmax = float(np.max(np.abs(matrix.vals))) if matrix.nnz else 0.0
+            if nproc > 1:
+                vmax = float(_process_allgather(
+                    np.float32(vmax)).max())
+            vscale = ((vmax or 1.0) / 31.0) or 1.0
             self._value_scale = vscale
 
-        rows_per_shard = -(-matrix.num_rows // D)
+        # Pack only this process's shards.
         packs = []
-        for d in range(D):
-            lo = d * rows_per_shard
-            hi = min(lo + rows_per_shard, matrix.num_rows)
-            local = matrix.row_slice(lo, hi)
+        for pos in my_pos:
+            lo = pos * rows_per_shard
+            hi = min(lo + rows_per_shard, global_rows)
+            if not (row_lo <= lo and hi <= row_lo + matrix.num_rows):
+                raise ValueError(
+                    f"device shard rows [{lo},{hi}) outside this process's "
+                    f"matrix rows [{row_lo},{row_lo + matrix.num_rows}) — "
+                    "pass the slice from distributed.local_shard_rows")
+            local = matrix.row_slice(lo - row_lo, hi - row_lo)
             if local.num_rows <= 0 or local.nnz == 0:
-                raise ValueError(f"shard {d} is empty ({D} devices)")
+                raise ValueError(f"shard {pos} is empty ({D} devices)")
             packs.append((lo, pack_sell_buckets(local, config,
                                                 value_scale=vscale)))
 
         # Common skeleton for the fused plan: widths sorted desc (matching
-        # each shard's own ordering), per-width block maxima across shards.
-        # Every device then shares ONE fused word stream layout -> one
-        # compiled kernel under shard_map, with per-device real-slice
-        # counts (nreal) masking the skeleton's padding slices.
+        # each shard's own ordering), per-width block maxima across ALL
+        # shards of ALL processes. Every device then shares ONE fused word
+        # stream layout -> one compiled kernel under shard_map, with
+        # per-device real-slice counts (nreal) masking padding slices.
         tgt = config.fused_block_sublanes
         by_width: dict[int, int] = {}
         for _, m in packs:
@@ -96,6 +168,19 @@ class ShardedBucketedTopKSpMV:
             for p in f_local.plan:
                 by_width[p.width] = max(by_width.get(p.width, 0),
                                         p.num_blocks)
+        if nproc > 1:
+            # Fixed-size payload: (width, num_blocks) pairs, zero-padded.
+            pairs = np.zeros((_SKELETON_SLOTS, 2), np.int32)
+            items = sorted(by_width.items(), reverse=True)
+            if len(items) > _SKELETON_SLOTS:
+                raise ValueError(f"{len(items)} bucket widths exceed the "
+                                 f"{_SKELETON_SLOTS}-slot skeleton exchange")
+            for i, (w, nb) in enumerate(items):
+                pairs[i] = (w, nb)
+            allp = _process_allgather(pairs).reshape(-1, 2)
+            by_width = {}
+            for w, nb in allp[allp[:, 0] > 0]:
+                by_width[int(w)] = max(by_width.get(int(w), 0), int(nb))
         skeleton = []
         base = 0
         for w in sorted(by_width, reverse=True):
@@ -113,13 +198,17 @@ class ShardedBucketedTopKSpMV:
         self.fused_num_blocks = fused[0].num_blocks
         self.fused_block_sublanes = tgt
         nb_words = max(f.words.shape[0] for f in fused)
-        words = np.zeros((D, nb_words, LANES), np.int32)
-        nreal = np.zeros((D, len(self.fused_plan), 1), np.int32)
-        row_ids = np.full((D, total_slices + 1, LANES), -1, np.int32)
-        for d, ((row0, m), f) in enumerate(zip(packs, fused)):
+        if nproc > 1:
+            nb_words = int(_process_allgather(np.int32(nb_words)).max())
+
+        shard_words, shard_nreal, shard_rows = [], [], []
+        for (row0, m), f in zip(packs, fused):
             assert f.plan == self.fused_plan, "skeleton plans must agree"
-            words[d, : f.words.shape[0]] = f.words
-            nreal[d, :, 0] = f.nreal[:, 0]
+            w = np.zeros((1, nb_words, LANES), np.int32)
+            w[0, : f.words.shape[0]] = f.words
+            nr = np.zeros((1, len(self.fused_plan), 1), np.int32)
+            nr[0, :, 0] = f.nreal[:, 0]
+            rid = np.full((1, total_slices + 1, LANES), -1, np.int32)
             for p, n_sl in zip(f.plan, f.nreal[:, 0]):
                 if n_sl == 0:
                     continue  # this shard has no slices of this width
@@ -127,12 +216,25 @@ class ShardedBucketedTopKSpMV:
                 ids = m.row_ids[src.slice_base:src.slice_base + int(n_sl)]
                 ids = ids.copy()
                 ids[ids >= 0] += row0
-                row_ids[d, p.slice_base:p.slice_base + int(n_sl)] = ids
+                rid[0, p.slice_base:p.slice_base + int(n_sl)] = ids
+            shard_words.append(w)
+            shard_nreal.append(nr)
+            shard_rows.append(rid)
 
-        spec = jax.sharding.NamedSharding(self.mesh, P(AXIS))
-        self._words = jax.device_put(words, spec)
-        self._nreal = jax.device_put(nreal, spec)
-        self._row_ids = jax.device_put(row_ids, spec)
+        # Global arrays from per-process single-device shards: no host
+        # ever holds (D, ...) — only its own (len(my_pos), ...) slices.
+        def _global(shards, tail_shape, dtype):
+            spec = NamedSharding(self.mesh, P(AXIS))
+            bufs = [jax.device_put(s, flat[pos])
+                    for pos, s in zip(my_pos, shards)]
+            return jax.make_array_from_single_device_arrays(
+                (D,) + tail_shape, spec, bufs)
+
+        self._words = _global(shard_words, (nb_words, LANES), np.int32)
+        self._nreal = _global(shard_nreal, (len(self.fused_plan), 1),
+                              np.int32)
+        self._row_ids = _global(shard_rows, (total_slices + 1, LANES),
+                                np.int32)
         self._query_fn = self._build_query_fn()
 
     # ------------------------------------------------------------------
@@ -168,20 +270,20 @@ class ShardedBucketedTopKSpMV:
             gv = jax.lax.all_gather(lv, AXIS)
             flat = gv.reshape(-1)
             fv, fpos = jax.lax.top_k(flat, min(k, flat.shape[0]))
-            return gr.reshape(-1)[fpos][None], fv[None]
+            # identical on every device -> replicated output (out_specs P())
+            return gr.reshape(-1)[fpos], fv
 
         fn = shard_map(
             local_fn,
             mesh=self.mesh,
             in_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
             check_rep=False,
         )
 
         @jax.jit
         def query_fn(nreal, row_ids, table, words):
-            rr, vv = fn(nreal, row_ids, table, words)
-            return rr[0], vv[0]
+            return fn(nreal, row_ids, table, words)
 
         return query_fn
 
@@ -194,6 +296,24 @@ class ShardedBucketedTopKSpMV:
         tab, scale = pack_query_table(padded, self.config.query_codec)
         return jnp.asarray(tab), scale
 
+    def _rescore_global(self, idx: np.ndarray, vec: np.ndarray, k: int):
+        """Exact re-rank of merged candidates against the per-host CSR
+        slice, combined across processes (distributed read_result,
+        host_spmv_bscsr.cpp:399-448)."""
+        from ..api import exact_rescore
+
+        idx = np.asarray(idx).reshape(-1)
+        local = idx[(idx >= self._csr_lo) & (idx < self._csr_hi)]
+        li, lv = exact_rescore(self._scipy_csr, local - self._csr_lo,
+                               vec, k)
+        li = np.where(li >= 0, li + self._csr_lo, -1).astype(np.int32)
+        if jax.process_count() > 1:
+            gi = _process_allgather(li).reshape(-1)
+            gv = _process_allgather(lv).reshape(-1)
+            order = np.argsort(-gv, kind="stable")[:k]
+            li, lv = gi[order].astype(np.int32), gv[order]
+        return jnp.asarray(li), jnp.asarray(lv)
+
     def query(self, vec, k: Optional[int] = None):
         k = k or self.config.k
         if k > self._merge_k:
@@ -205,10 +325,7 @@ class ShardedBucketedTopKSpMV:
         idx, vals = self._query_fn(
             self._nreal, self._row_ids, table, self._words)
         if self._scipy_csr is not None:
-            from ..api import exact_rescore
-
-            ri, rv = exact_rescore(self._scipy_csr, np.asarray(idx), vec, k)
-            return jnp.asarray(ri), jnp.asarray(rv)  # jax.Array on every path
+            return self._rescore_global(np.asarray(idx), vec, k)
         scale = scale * self._value_scale
         if scale != 1.0:
             vals = vals * scale
@@ -250,20 +367,19 @@ class ShardedBucketedTopKSpMV:
             gvf = gv.reshape(gv.shape[0], -1)
             fv, fpos = jax.lax.top_k(gvf, min(k, gvf.shape[1]))
             fr = jnp.take_along_axis(gr.reshape(gr.shape[0], -1), fpos, axis=1)
-            return fr[None], fv[None]
+            return fr, fv
 
         fn = shard_map(
             local_fn,
             mesh=self.mesh,
             in_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
             check_rep=False,
         )
 
         @jax.jit
         def batch_fn(nreal, row_ids, tables, words):
-            rr, vv = fn(nreal, row_ids, tables, words)
-            return rr[0], vv[0]
+            return fn(nreal, row_ids, tables, words)
 
         return batch_fn
 
@@ -296,14 +412,11 @@ class ShardedBucketedTopKSpMV:
             vals = vals * (jnp.asarray(scales, jnp.float32)[:, None]
                            * self._value_scale)
             if self._scipy_csr is not None:
-                from ..api import exact_rescore
-
                 kk = k or self.config.k
-                outs = [exact_rescore(self._scipy_csr, np.asarray(idx[q]),
-                                      chunk[q], kk)
+                outs = [self._rescore_global(np.asarray(idx[q]), chunk[q], kk)
                         for q in range(n_real)]
-                idx = jnp.stack([jnp.asarray(o[0]) for o in outs])
-                vals = jnp.stack([jnp.asarray(o[1]) for o in outs])
+                idx = jnp.stack([o[0] for o in outs])
+                vals = jnp.stack([o[1] for o in outs])
                 idx_all.append(idx)
                 val_all.append(vals)
                 continue
