@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <cmath>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -113,6 +114,36 @@ void coo_sort_perm(const int32_t* rows, const int32_t* cols, int64_t nnz,
   (void)num_cols;
 }
 
+// Row-major sortedness check (allowing duplicate (row, col) keys).
+// Parallel short-circuit scan — the NumPy int64-key formulation costs
+// ~3.5 s / 100M nnz of temporaries; this is memory-free and threaded.
+// Returns 1 if sorted, 0 otherwise.
+int32_t coo_is_sorted(const int32_t* rows, const int32_t* cols, int64_t nnz,
+                      int32_t n_threads) {
+  if (nnz < 2) return 1;
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(64, int(n_threads)));
+  std::atomic<int32_t> ok{1};
+  std::vector<std::thread> ts;
+  int64_t chunk = cdiv(nnz - 1, n_threads);
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * chunk, hi = std::min(nnz - 1, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=, &ok]() {
+      for (int64_t i = lo; i < hi; i++) {
+        if (rows[i] > rows[i + 1] ||
+            (rows[i] == rows[i + 1] && cols[i] > cols[i + 1])) {
+          ok.store(0, std::memory_order_relaxed);
+          return;
+        }
+        if ((i & 0xFFFF) == 0 && !ok.load(std::memory_order_relaxed)) return;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return ok.load();
+}
+
 // ---------------------------------------------------------------------------
 // SELL-128 packing (see spmv_topk_tpu/formats/sell.py for the format spec).
 // ---------------------------------------------------------------------------
@@ -162,6 +193,63 @@ void sell_scatter(const int32_t* rows, const int32_t* cols, const float* vals,
         int64_t sub = slice_off[rk / kLanes] + within;
         uint32_t w = (uint32_t(cols[i]) << 16) | bf16_bits(vals[i]);
         words[sub * kLanes + lane] = int32_t(w);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// h16 pair-scatter: two nnz per 32-bit word (col10 | val6 per 16-bit
+// half, see spmv_topk_tpu/formats/sell_buckets.py::_scatter_h16 for the
+// layout spec — that NumPy routine stays as the differential oracle, but
+// its temporaries cost ~9x the packed size and ~445 s at 1G nnz; this
+// in-place threaded loop packs 2G nnz in seconds, the 100M-row BASELINE
+// config's setup path).
+// ---------------------------------------------------------------------------
+
+// rows/cols/vals row-major sorted. row_start: CSR offsets (num_rows+1).
+// rank: sigma-sort rank per row. slice_off: per-slice sublane offsets in
+// WORD units (num_slices+1), built from pair degrees ceil(d/2).
+// inv_scale = 1 / value_scale. words: (total_sub * 128) int32, zeroed by
+// the caller. Threads split on nnz ranges aligned so no (row, pair)
+// straddles a boundary (the high half |=s into the low half's word).
+void h16_scatter(const int32_t* rows, const int32_t* cols, const float* vals,
+                 int64_t nnz, const int64_t* row_start, const int64_t* rank,
+                 const int64_t* slice_off, float inv_scale, int32_t* words,
+                 int32_t n_threads) {
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(64, int(n_threads)));
+  std::vector<int64_t> bounds(n_threads + 1, nnz);
+  bounds[0] = 0;
+  int64_t chunk = cdiv(nnz, n_threads);
+  for (int t = 1; t < n_threads; t++) {
+    int64_t lo = std::min(nnz, t * chunk);
+    // keep both halves of a pair in one thread: push an odd within-row
+    // offset up by one so the partner stays behind the boundary
+    if (lo < nnz && ((lo - row_start[rows[lo]]) & 1)) lo++;
+    bounds[t] = lo;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = bounds[t], hi = bounds[t + 1];
+    if (lo >= hi) continue;
+    ts.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; i++) {
+        int32_t r = rows[i];
+        int64_t within = i - row_start[r];
+        int64_t rk = rank[r];
+        int64_t sub = slice_off[rk / kLanes] + (within >> 1);
+        float q = std::nearbyint(vals[i] * inv_scale);
+        int32_t v6 = int32_t(std::max(-31.0f, std::min(31.0f, q)));
+        uint32_t half = uint32_t(cols[i]) | ((uint32_t(v6) & 0x3Fu) << 10);
+        uint32_t* w =
+            reinterpret_cast<uint32_t*>(words) + sub * kLanes + rk % kLanes;
+        if (within & 1) {
+          *w |= half << 16;
+        } else {
+          *w = half;  // low half written first (row-major order)
+        }
       }
     });
   }

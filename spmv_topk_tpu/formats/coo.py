@@ -36,6 +36,7 @@ class CooMatrix:
         self.vals = np.ascontiguousarray(self.vals, dtype=np.float32)
         if not (len(self.rows) == len(self.cols) == len(self.vals)):
             raise ValueError("rows/cols/vals length mismatch")
+        self._sorted: "bool | None" = None  # lazy sortedness cache
 
     @property
     def nnz(self) -> int:
@@ -43,14 +44,25 @@ class CooMatrix:
 
     def sort_row_major(self) -> "CooMatrix":
         order = np.lexsort((self.cols, self.rows))
-        return CooMatrix(
+        m = CooMatrix(
             self.rows[order], self.cols[order], self.vals[order],
             self.num_rows, self.num_cols,
         )
+        m._sorted = True
+        return m
 
     def is_sorted_row_major(self) -> bool:
-        keys = self.rows.astype(np.int64) * self.num_cols + self.cols
-        return bool(np.all(np.diff(keys) >= 0))
+        if self._sorted is None:
+            from ..utils import native
+
+            ok = native.coo_is_sorted(self.rows, self.cols)
+            if ok is None:  # int32 compares, no int64 key materialization
+                r, c = self.rows, self.cols
+                ok = bool(len(r) < 2 or (
+                    np.all(r[1:] >= r[:-1])
+                    and np.all((r[1:] > r[:-1]) | (c[1:] >= c[:-1]))))
+            self._sorted = ok
+        return self._sorted
 
     def to_csr(self):
         """Return (row_ptr, cols, vals); requires row-major sorting."""
@@ -91,10 +103,12 @@ class CooMatrix:
         """Extract rows [start, stop) re-indexed to start at 0 (requires sorting)."""
         lo = np.searchsorted(self.rows, start, side="left")
         hi = np.searchsorted(self.rows, stop, side="left")
-        return CooMatrix(
+        m = CooMatrix(
             self.rows[lo:hi] - start, self.cols[lo:hi], self.vals[lo:hi],
             stop - start, self.num_cols,
         )
+        m._sorted = self._sorted  # a slice of a sorted matrix stays sorted
+        return m
 
 
 def from_scipy(mat) -> CooMatrix:

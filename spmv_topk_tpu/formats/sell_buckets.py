@@ -239,6 +239,116 @@ def fuse_buckets(m: BucketedSellMatrix, block_sublanes: int = 1024,
     )
 
 
+@dataclasses.dataclass
+class PartitionedFusedMatrix:
+    """P row-partition streams sharing one fused plan skeleton.
+
+    Device layout of the partition-parallel fused kernel
+    (ops.kernel.topk_spmv_fused_part_device): the single-chip analog of
+    the reference's 8 CU x 4 sub-partition hierarchy (types.hpp:36-38) —
+    partitions are independent block streams that Mosaic may place on
+    separate megacore cores. Stored slice indices are partition-local;
+    candidates resolve against the stacked row_ids with a p * part_slices
+    offset (applied inside the kernel).
+    """
+
+    words: np.ndarray        # (P * num_blocks * block_sublanes, 128) int32
+    plan: tuple              # shared tuple[FusedBucket, ...]
+    nreal: np.ndarray        # (P, num_buckets, 1) int32
+    row_ids: np.ndarray      # (P * part_slices, 128) int32
+    num_partitions: int
+    part_slices: int         # total_slices + 1 (incl. sentinel) per partition
+    block_sublanes: int
+    num_blocks: int          # blocks per partition
+    num_rows: int
+    num_cols: int
+    num_nnz: int
+    value_scale: float = 1.0
+
+    @property
+    def hbm_bytes(self) -> int:
+        return int(self.words.nbytes)
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.words.size / max(self.num_nnz, 1)
+
+
+def pack_fused_partitions(
+    coo: CooMatrix, config: TopKSpMVConfig, num_partitions: int,
+) -> PartitionedFusedMatrix:
+    """Pack `coo` as P contiguous row partitions with one common fused
+    skeleton (the in-process analog of the sharded engine's cross-device
+    skeleton; partition rule = host_spmv_bscsr.cpp:136-150)."""
+    P = num_partitions
+    tgt = config.fused_block_sublanes
+    if not coo.is_sorted_row_major():
+        coo = coo.sort_row_major()
+
+    vscale = None
+    if config.query_codec == "h16":
+        vmax = float(np.max(np.abs(coo.vals))) if coo.nnz else 0.0
+        vscale = ((vmax or 1.0) / 31.0) or 1.0
+
+    rows_per = -(-coo.num_rows // P)
+    packs = []
+    for p in range(P):
+        lo = p * rows_per
+        hi = min(lo + rows_per, coo.num_rows)
+        local = coo.row_slice(lo, hi)
+        if local.num_rows <= 0 or local.nnz == 0:
+            raise ValueError(
+                f"partition {p} is empty ({P} partitions over "
+                f"{coo.num_rows} rows) — lower config.num_partitions")
+        packs.append((lo, pack_sell_buckets(local, config,
+                                            value_scale=vscale)))
+
+    # Common skeleton: per-width block maxima across partitions (same
+    # construction as the sharded engine's cross-device skeleton).
+    by_width: dict[int, int] = {}
+    for _, m in packs:
+        for q in fuse_buckets(m, block_sublanes=tgt).plan:
+            by_width[q.width] = max(by_width.get(q.width, 0), q.num_blocks)
+    skeleton = []
+    base = 0
+    for w in sorted(by_width, reverse=True):
+        nb = by_width[w]
+        skeleton.append((w, nb, base))
+        spb = tgt // w if w <= tgt else 1
+        bps = 1 if w <= tgt else -(-w // tgt)
+        base += (nb * spb) if bps == 1 else (nb // bps)
+    total_slices = base
+
+    fused = [fuse_buckets(m, block_sublanes=tgt, skeleton=skeleton)
+             for _, m in packs]
+    plan = fused[0].plan
+    num_blocks = fused[0].num_blocks
+    nb_words = max(f.words.shape[0] for f in fused)
+
+    words = np.zeros((P * nb_words, LANES), np.int32)
+    nreal = np.zeros((P, len(plan), 1), np.int32)
+    row_ids = np.full((P * (total_slices + 1), LANES), -1, np.int32)
+    for p, ((row0, m), f) in enumerate(zip(packs, fused)):
+        assert f.plan == plan, "skeleton plans must agree"
+        words[p * nb_words: p * nb_words + f.words.shape[0]] = f.words
+        nreal[p, :, 0] = f.nreal[:, 0]
+        r0 = p * (total_slices + 1)
+        for q, n_sl in zip(plan, f.nreal[:, 0]):
+            if n_sl == 0:
+                continue
+            src = next(b for b in m.buckets if b.width == q.width)
+            ids = m.row_ids[src.slice_base:src.slice_base + int(n_sl)].copy()
+            ids[ids >= 0] += row0
+            row_ids[r0 + q.slice_base: r0 + q.slice_base + int(n_sl)] = ids
+    return PartitionedFusedMatrix(
+        words=words, plan=plan, nreal=nreal, row_ids=row_ids,
+        num_partitions=P, part_slices=total_slices + 1,
+        block_sublanes=tgt, num_blocks=num_blocks,
+        num_rows=coo.num_rows, num_cols=coo.num_cols, num_nnz=coo.nnz,
+        value_scale=vscale if vscale is not None else 1.0,
+    )
+
+
 def pack_sell_buckets(
     coo: CooMatrix, config: TopKSpMVConfig = DEFAULT_CONFIG,
     target_block_sublanes: int | None = None,
@@ -398,7 +508,24 @@ def _scatter_h16(coo: CooMatrix, degrees, row_start, rank_of_row,
     val6 = two's-complement round(val / value_scale) in [-31, 31]; an odd
     row degree leaves the high half 0 (val6=0 contributes nothing, any
     col is safe). Slice geometry uses word degrees ceil(d/2).
+
+    Dispatches to the native threaded scatter (runtime/spmv_runtime.cpp::
+    h16_scatter) when built; this NumPy body is the fallback and the
+    differential oracle (tests/test_native.py) — its temporaries are ~9x
+    the packed size, prohibitive at the 2G-nnz BASELINE config.
     """
+    from ..utils import native
+
+    nw = native.h16_scatter(
+        np.ascontiguousarray(coo.rows, np.int32),
+        np.ascontiguousarray(coo.cols, np.int32),
+        np.ascontiguousarray(coo.vals, np.float32),
+        np.ascontiguousarray(row_start, np.int64),
+        np.ascontiguousarray(rank_of_row, np.int64),
+        np.ascontiguousarray(slice_off, np.int64),
+        total_sub, value_scale)
+    if nw is not None:
+        return nw
     # memory hygiene: a 100M-row corpus (~2G nnz) peaks near host RAM —
     # keep temporaries int32 where ranges allow and free them eagerly
     v6 = np.clip(np.rint(coo.vals * np.float32(1.0 / value_scale)),

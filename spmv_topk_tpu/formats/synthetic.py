@@ -63,7 +63,9 @@ def create_sparse_matrix(
         norms[degrees > 0] = np.sqrt(sq)
         vals = (vals / np.repeat(norms, degrees)).astype(np.float32)
 
-    return CooMatrix(rows, cols, vals, num_rows, num_cols)
+    m = CooMatrix(rows, cols, vals, num_rows, num_cols)
+    m._sorted = True  # constructed row-major sorted above
+    return m
 
 
 def create_sample_vector(

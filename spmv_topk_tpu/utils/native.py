@@ -62,6 +62,15 @@ def _load():
             i64p, i32p, f32p, f32p, i64p, ctypes.c_int64, f32p]
     except AttributeError:  # stale .so without the symbol
         pass
+    try:
+        lib.h16_scatter.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, i64p, i64p, i64p,
+            ctypes.c_float, i32p, ctypes.c_int32]
+        lib.coo_is_sorted.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32]
+        lib.coo_is_sorted.restype = ctypes.c_int32
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
 
@@ -136,6 +145,35 @@ def sell_scatter(rows, cols, vals, row_start, rank, slice_off, total_sub,
         _ptr(row_start, ctypes.c_int64), _ptr(rank, ctypes.c_int64),
         _ptr(slice_off, ctypes.c_int64), _ptr(words, ctypes.c_int32),
         n_threads)
+    return words
+
+
+def coo_is_sorted(rows: np.ndarray, cols: np.ndarray):
+    """Row-major sortedness (duplicates allowed), or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "coo_is_sorted"):
+        return None
+    return bool(lib.coo_is_sorted(
+        _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+        len(rows), 0))
+
+
+def h16_scatter(rows, cols, vals, row_start, rank, slice_off, total_sub,
+                value_scale: float, n_threads: int = 0):
+    """Threaded h16 pair-scatter (2 nnz per int32 word), or None if the
+    native library is unavailable (NumPy fallback in
+    formats.sell_buckets._scatter_h16, which is also the oracle —
+    tests/test_native.py). slice_off is in WORD units (pair degrees)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "h16_scatter"):
+        return None
+    words = np.zeros((total_sub, 128), np.int32)
+    lib.h16_scatter(
+        _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+        _ptr(vals, ctypes.c_float), len(rows),
+        _ptr(row_start, ctypes.c_int64), _ptr(rank, ctypes.c_int64),
+        _ptr(slice_off, ctypes.c_int64), ctypes.c_float(1.0 / value_scale),
+        _ptr(words, ctypes.c_int32), n_threads)
     return words
 
 

@@ -66,3 +66,21 @@ def test_csr_rescore_matches_numpy_fallback():
         native.csr_rescore = real
     np.testing.assert_array_equal(oi, fi)
     np.testing.assert_allclose(ov, fv, rtol=2e-6)
+
+
+def test_native_h16_scatter_matches_numpy(monkeypatch):
+    """Native threaded pair-scatter vs the NumPy oracle, bucketed pack."""
+    from spmv_topk_tpu.formats.sell_buckets import pack_sell_buckets
+
+    coo = create_sparse_matrix(4000, 1024, 21, "gamma", seed=35)  # odd degs
+    cfg = TopKSpMVConfig(query_codec="h16", rescore_pool=200,
+                         block_sublanes=64)
+    m_native = pack_sell_buckets(coo, cfg)
+    monkeypatch.setattr(native, "h16_scatter", lambda *a, **k: None)
+    m_numpy = pack_sell_buckets(coo, cfg)
+    assert m_native.value_scale == m_numpy.value_scale
+    assert len(m_native.buckets) == len(m_numpy.buckets)
+    for bn, bp in zip(m_native.buckets, m_numpy.buckets):
+        assert (bn.width, bn.slice_base) == (bp.width, bp.slice_base)
+        np.testing.assert_array_equal(bn.words, bp.words)
+    np.testing.assert_array_equal(m_native.row_ids, m_numpy.row_ids)
