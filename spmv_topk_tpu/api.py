@@ -124,7 +124,21 @@ class TopKSpMV:
             # dot sums them, same semantics).
             self._scipy_csr = matrix.to_scipy_csr()
 
-        if config.layout == "bucketed":
+        if config.layout == "bucketed" and config.num_partitions > 1:
+            # P row partitions on a parallel grid axis (megacore): the
+            # analog of the reference's CU hierarchy (types.hpp:36-38).
+            from .formats.sell_buckets import pack_fused_partitions
+
+            self.sell = None  # per-bucket layout not kept (scores() n/a)
+            self.fused = pack_fused_partitions(
+                matrix, config, config.num_partitions)
+            self._value_scale = self.fused.value_scale
+            self._fwords = jax.device_put(self.fused.words, device)
+            self._fnreal = jax.device_put(self.fused.nreal, device)
+            self._row_ids = jax.device_put(self.fused.row_ids, device)
+            self._bwords_cache = None
+
+        elif config.layout == "bucketed":
             from .formats.sell_buckets import pack_sell_buckets, fuse_buckets
 
             self.sell = pack_sell_buckets(matrix, config)
@@ -160,6 +174,10 @@ class TopKSpMV:
 
         if self.config.layout != "bucketed":
             raise NotImplementedError("save() requires the bucketed layout")
+        if self.config.num_partitions > 1:
+            raise NotImplementedError(
+                "save() supports num_partitions=1 engines (the partitioned "
+                "stream snapshot format is not defined)")
         f = self.fused
         plan_arr = np.array(
             [[p.width, p.slices_per_block, p.blocks_per_slice,
@@ -238,9 +256,9 @@ class TopKSpMV:
         """Per-bucket device arrays (lazy: only scores() needs them)."""
         if self.sell is None:
             raise NotImplementedError(
-                "this engine was load()ed from a fused snapshot; "
-                "scores() needs the per-bucket layout — rebuild from the "
-                "matrix to use it")
+                "scores() needs the per-bucket layout, which load()ed "
+                "snapshots and num_partitions>1 engines do not keep — "
+                "rebuild from the matrix with num_partitions=1 to use it")
         if self._bwords_cache is None:
             self._bwords_cache = [
                 jax.device_put(b.words, self.device)
@@ -256,6 +274,18 @@ class TopKSpMV:
     def candidates_traceable(self, table):
         """(topv, topt) from a device-resident (num_groups, 128) table;
         safe to call inside jit/scan (the matrix arrays are captured)."""
+        if self.config.layout == "bucketed" and self.config.num_partitions > 1:
+            from .ops.kernel import topk_spmv_fused_part_device
+
+            return topk_spmv_fused_part_device(
+                self._fwords, table, self._fnreal, cfg=self.config,
+                plan=self.fused.plan,
+                block_sublanes=self.fused.block_sublanes,
+                num_blocks=self.fused.num_blocks,
+                num_partitions=self.fused.num_partitions,
+                part_slices=self.fused.part_slices,
+                interpret=self._interpret, codec=self.config.query_codec,
+            )
         if self.config.layout == "bucketed":
             from .ops.kernel import topk_spmv_fused_device
 
@@ -362,7 +392,7 @@ class TopKSpMV:
             rescore_pool = self.config.rescore_pool
         k = max(user_k, rescore_pool) if rescore_pool else user_k
         queries = np.asarray(queries, dtype=np.float32)
-        if self.config.layout != "bucketed":
+        if self.config.layout != "bucketed" or self.config.num_partitions > 1:
             outs = [self.query(q, user_k, rescore_pool=rescore_pool)
                     for q in queries]
             return (jnp.stack([jnp.asarray(o[0]) for o in outs]),

@@ -338,7 +338,7 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                   tv, tt, carry, *, cfg: TopKSpMVConfig, plan: tuple,
                   block_sublanes: int, codec: str = "f32",
-                  mask_lanes: bool = True):
+                  mask_lanes: bool = True, part_slices: int = 0):
     """All buckets in ONE pallas_call: grid = total blocks, one static
     branch per bucket selected on the block index.
 
@@ -349,9 +349,17 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     Top-K scratch is shared, so candidates come out already merged across
     buckets. Wide buckets (width > block) carry a partial row sum across
     blocks in `carry` scratch — the only loop_3-style stitching left.
+
+    part_slices > 0 adds a leading PARALLEL grid axis of row partitions
+    (the analog of the 8 CU x 4 sub-partition hierarchy, types.hpp:36-38;
+    on megacore chips the partitions run on separate cores). Every
+    partition shares one plan skeleton; stored slice indices are offset by
+    p * part_slices so the stacked row_ids resolve them globally.
     """
     tie_safe = cfg.tie_safe_topk
-    i = pl.program_id(0)
+    part = part_slices > 0
+    i = pl.program_id(1 if part else 0)
+    toff = pl.program_id(0) * part_slices if part else 0
     S = cfg.chunk_sublanes
     K = cfg.lane_k
 
@@ -374,7 +382,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
         @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
         def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
-            nreal = nreal_ref[bi, 0]
+            nreal = nreal_ref[0, bi, 0] if part else nreal_ref[bi, 0]
 
             def prod_at(sub):
                 w = words_ref[pl.ds(sub, S), :]
@@ -397,7 +405,7 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
             def fold(score, t):
                 score = jnp.where(t < pb.slice_base + nreal, score, NEG_INF)
-                _topk_update(tv, tt, score, t, K, tie_safe=tie_safe)
+                _topk_update(tv, tt, score, t + toff, K, tie_safe=tie_safe)
 
             if bps == 1 and W % S == 0:
                 def do_slice(j):
@@ -452,27 +460,28 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     w = words_ref[pl.ds(u * S, S), :]
                     accs[u % 2] = accs[u % 2] + \
                         prod(bcs, w, S, mask_lanes)
-                part = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
+                psum = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
                 off = i - pb.blk_start
                 last = (off % bps) == (bps - 1)
 
                 @pl.when(~last)
                 def _():
-                    carry[:] = carry[:] + part
+                    carry[:] = carry[:] + psum
 
                 @pl.when(last)
                 def _():
-                    score = carry[:] + part
+                    score = carry[:] + psum
                     carry[:] = jnp.zeros_like(carry)
                     t = pb.slice_base + off // bps
                     score = jnp.where(t < pb.slice_base + nreal,
                                       score, NEG_INF)
-                    _topk_update(tv, tt, score, t, K, tie_safe=tie_safe)
+                    _topk_update(tv, tt, score, t + toff, K,
+                                 tie_safe=tie_safe)
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(1 if part else 0) - 1)
     def _():
-        topv_ref[:] = tv[:]
-        topt_ref[:] = tt[:]
+        topv_ref[...] = tv[:].reshape(topv_ref.shape)
+        topt_ref[...] = tt[:].reshape(topt_ref.shape)
 
 
 @functools.partial(
@@ -524,6 +533,70 @@ def topk_spmv_fused_device(
             pltpu.VMEM((K, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.float32),
         ],
+        interpret=interpret,
+    )(nreal, table, words)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "num_partitions", "part_slices", "interpret", "codec"),
+)
+def topk_spmv_fused_part_device(
+    words, table, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int, num_partitions: int,
+    part_slices: int, interpret: bool = False, codec: str = "f32",
+):
+    """Partitioned fused kernel: P row partitions on a PARALLEL grid axis.
+
+    The TPU analog of the reference's 8 CU x 4 sub-partition hierarchy
+    (types.hpp:36-38, SLR placement Makefile:58-65): every partition
+    shares one compiled plan skeleton and sweeps its own block stream; on
+    megacore chips (v4/v5p) Mosaic places partitions on separate cores.
+
+    words: (P * num_blocks * block_sublanes, 128) int32 — partition-major.
+    nreal: (P, num_buckets, 1) int32 real slice counts per partition.
+    part_slices: rows of one partition's row_ids table (total_slices + 1);
+      stored candidate indices are offset by p * part_slices, so finalize
+      resolves them against the (P * part_slices, 128) stacked row_ids.
+    Returns (topv, topt) of (P, lane_k, 128).
+    """
+    K = cfg.lane_k
+    kernel = functools.partial(
+        _fused_kernel, cfg=cfg, plan=plan, block_sublanes=block_sublanes,
+        codec=codec, mask_lanes=interpret, part_slices=part_slices,
+    )
+    P = num_partitions
+    return pl.pallas_call(
+        kernel,
+        grid=(P, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, nreal.shape[1], 1), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((table.shape[0], LANES), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES),
+                         lambda p, i, nb=num_blocks: (p * nb + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((P, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, LANES), jnp.float32),
+            pltpu.VMEM((K, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(nreal, table, words)
 
