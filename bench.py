@@ -87,12 +87,27 @@ def main():
         return lambda: np.asarray(run(eng._fwords, eng._fnreal, tables)[0])
 
     short, long_ = stream_fn(4), stream_fn(104)
+    t_compile = time.time()
     short(); long_()  # compile + warm
+    compile_s = time.time() - t_compile
     # Interleaved slope pairs: chip/tunnel contention drifts over minutes,
-    # so each slope uses adjacent short/long runs; median rejects outliers.
-    slopes = sorted((_timed(long_) - _timed(short)) / 100.0
-                    for _ in range(5))
-    per_query = slopes[len(slopes) // 2]
+    # so each slope uses adjacent short/long runs; median rejects
+    # outliers. Reproducibility guard (VERDICT r1 weak #2): when the
+    # inter-rep spread exceeds 10% of the median, keep adding rounds (the
+    # tunnel was congested) up to a cap, and report every rep so a
+    # divergent headline run is diagnosable from the JSON alone.
+    slopes = [(_timed(long_) - _timed(short)) / 100.0 for _ in range(7)]
+    for _ in range(3):
+        s = np.sort(slopes)
+        med = float(np.median(s))
+        iqr = float(s[(3 * len(s)) // 4] - s[len(s) // 4])
+        if iqr <= 0.10 * med:
+            break
+        slopes += [(_timed(long_) - _timed(short)) / 100.0
+                   for _ in range(6)]
+    per_query = float(np.median(slopes))
+    slope_spread = float(np.sort(slopes)[(3 * len(slopes)) // 4]
+                         - np.sort(slopes)[len(slopes) // 4]) / per_query
 
     # secondary: grouped multi-query kernel (the serving batch path) —
     # each matrix block is decoded once for the whole group.
@@ -197,6 +212,9 @@ def main():
         "nnz": coo.nnz,
         "padding_ratio": round(eng.fused.padding_ratio, 3),
         "pack_seconds": round(pack_s, 1),
+        "compile_seconds": round(compile_s, 1),
+        "slope_reps_ms": [round(s * 1e3, 3) for s in slopes],
+        "slope_iqr_pct": round(slope_spread * 100, 1),
         "backend": jax.default_backend(),
     }))
 

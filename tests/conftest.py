@@ -4,25 +4,45 @@ Sharding/multi-host behavior is tested without TPU hardware via
 xla_force_host_platform_device_count, the analog of the reference's sw_emu
 Vitis target (functional emulation without the card, Makefile:114-138).
 Pallas kernels run in interpreter mode on CPU (auto-detected).
+
+Set SPMV_TPU_TESTS=1 to instead run the on-hardware smoke suite
+(`-m tpu`, tests/test_tpu_smoke.py) on the real chip — the analog of the
+reference's hw target; everything else is skipped in that mode:
+
+    SPMV_TPU_TESTS=1 python -m pytest tests -m tpu -q
 """
 
 import os
 
-# The axon environment pre-imports jax from sitecustomize, so JAX_PLATFORMS
-# is already latched — update the live config instead of the env var.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np
 import pytest
+
+TPU_RUN = os.environ.get("SPMV_TPU_TESTS") == "1"
+
+if not TPU_RUN:
+    # The axon environment pre-imports jax from sitecustomize, so
+    # JAX_PLATFORMS is already latched — update the live config instead
+    # of the env var.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "tpu" in item.keywords and not TPU_RUN:
+            item.add_marker(pytest.mark.skip(
+                reason="on-TPU smoke test: set SPMV_TPU_TESTS=1 on a TPU host"))
+        elif TPU_RUN and "tpu" not in item.keywords:
+            item.add_marker(pytest.mark.skip(
+                reason="CPU-suite test skipped during the TPU smoke run"))
 
 
 @pytest.fixture
