@@ -138,18 +138,89 @@ def plot_roofline(df: pd.DataFrame, out: str, bytes_per_nnz: float = 4.25,
     plt.close(fig)
 
 
+def plot_sparsity(coo, out: str, name: str = "matrix"):
+    """Degree distribution + packing overhead figure (the analog of the
+    reference's plot_sparsity.py, which histograms nnz/row per dataset).
+
+    Left: row-degree histogram. Right: packed words per nnz (the HBM
+    stream inflation from width quantization + block padding) for the
+    layout variants — this is the figure that guides W_LADDER /
+    width_quantum tuning: the gap between a bar and 1.0 is bandwidth
+    spent streaming padding.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..config import TopKSpMVConfig
+    from ..formats.sell_buckets import pack_sell_buckets, fuse_buckets
+
+    deg = coo.row_degrees()
+    variants = [
+        ("sigma q8", dict(sigma_sort=True, width_quantum=8)),
+        ("sigma q4", dict(sigma_sort=True, width_quantum=4)),
+        ("no-sigma q8", dict(sigma_sort=False, width_quantum=8)),
+        ("sigma q4 h16", dict(sigma_sort=True, width_quantum=4,
+                              query_codec="h16")),
+    ]
+    ratios = []
+    for label, kw in variants:
+        cfg = TopKSpMVConfig(max_cols=-(-coo.num_cols // 128) * 128, **kw)
+        f = fuse_buckets(pack_sell_buckets(coo, cfg),
+                         block_sublanes=cfg.fused_block_sublanes)
+        # h16 packs 2 nnz/word: report stream words per PACKED word so
+        # the bars measure layout padding, not codec compression
+        denom = (coo.nnz + 1) // 2 if kw.get("query_codec") == "h16" \
+            else coo.nnz
+        ratios.append((label, f.words.size / max(denom, 1)))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.8))
+    ax1.hist(deg, bins=min(100, max(int(deg.max()), 2)), log=True)
+    ax1.set_xlabel("nnz per row")
+    ax1.set_ylabel("rows")
+    ax1.set_title(f"{name}: degree distribution "
+                  f"(mean {deg.mean():.1f}, max {deg.max()})", fontsize=9)
+    labels = [r[0] for r in ratios]
+    ax2.bar(range(len(ratios)), [r[1] for r in ratios])
+    ax2.axhline(1.0, ls="--", c="k", lw=0.8)
+    for i, (_, v) in enumerate(ratios):
+        ax2.annotate(f"{v:.3f}", (i, v), ha="center", va="bottom",
+                     fontsize=8)
+    ax2.set_xticks(range(len(ratios)))
+    ax2.set_xticklabels(labels, rotation=20, ha="right", fontsize=8)
+    ax2.set_ylabel("stream words / nnz word")
+    ax2.set_title("packing overhead by layout", fontsize=9)
+    fig.tight_layout()
+    path = os.path.join(out, "sparsity.png")
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return ratios
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("results_dir")
+    ap.add_argument("results_dir", nargs="?")
     ap.add_argument("--out", default=None)
     ap.add_argument("--chip", default="tpu v5 lite")
+    ap.add_argument("--sparsity", default=None, metavar="ROWSxCOLSxDEGxDIST",
+                    help="also emit the degree/padding figure for a "
+                    "synthetic matrix, e.g. 1000000x1024x20xgamma")
     args = ap.parse_args()
-    out = args.out or os.path.join(args.results_dir, "plots")
+    out = args.out or os.path.join(args.results_dir or ".", "plots")
     os.makedirs(out, exist_ok=True)
-    df = load_results(args.results_dir)
-    plot_exec_time(df, out)
-    plot_errors(df, out)
-    plot_roofline(df, out, chip=args.chip)
+    if args.sparsity:
+        from ..formats.synthetic import create_sparse_matrix
+
+        r, c, d, dist = args.sparsity.split("x")
+        coo = create_sparse_matrix(int(r), int(c), int(d), dist, seed=1)
+        ratios = plot_sparsity(coo, out, name=args.sparsity)
+        for label, v in ratios:
+            print(f"  {label:16s} {v:.3f} words/nnz-word")
+    if args.results_dir:
+        df = load_results(args.results_dir)
+        plot_exec_time(df, out)
+        plot_errors(df, out)
+        plot_roofline(df, out, chip=args.chip)
     print(f"wrote plots to {out}")
 
 

@@ -51,3 +51,23 @@ def test_cpu_baseline():
     dense = coo.to_scipy() @ q
     gold = np.argsort(-dense)[:25]
     assert set(idx.tolist()) == set(gold.tolist())
+
+
+def test_plot_sparsity(tmp_path):
+    """Degree/padding figure (plot_sparsity.py analog, VERDICT r1 #10)."""
+    import os
+
+    from spmv_topk_tpu.bench import plots
+    from spmv_topk_tpu.formats import create_sparse_matrix
+
+    # large enough that fused block padding (1024-sublane blocks) does not
+    # dominate the ratio the figure is meant to show
+    coo = create_sparse_matrix(100_000, 512, 15, "gamma", seed=90)
+    out = str(tmp_path)
+    ratios = plots.plot_sparsity(coo, out, name="t")
+    assert os.path.exists(os.path.join(out, "sparsity.png"))
+    assert len(ratios) == 4
+    by = dict(ratios)
+    # sigma-sorted layouts must be near-dense; unsorted explodes on gamma
+    assert by["sigma q8"] < 2.0
+    assert by["no-sigma q8"] > by["sigma q8"]
