@@ -11,6 +11,9 @@ Configs (BASELINE.json):
   6. dense-MXU batch engine (when the dense form fits HBM)
   7. GloVe-shaped workload (2.2M x 300, the reference's real dataset
      geometry) with the i4s + rescore production mode
+  8. billion-nnz single-chip capacity demo (50M x 1024, i4s)
+  9. BASELINE config-4 geometry on one chip: 100M x 1024, ~2G nnz, h16,
+     with multi-query groups up to 64
 
 Usage: python -m spmv_topk_tpu.bench.full_eval [--small] [--configs c2,c7]
 """
@@ -18,6 +21,7 @@ Usage: python -m spmv_topk_tpu.bench.full_eval [--small] [--configs c2,c7]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -89,13 +93,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="shrink matrices ~10x for a quick pass")
+    ap.add_argument("--scale", type=int, default=None,
+                    help="explicit shrink divisor (overrides --small; "
+                         "e.g. --scale 2000 for a CPU smoke run)")
     ap.add_argument("--configs", default=None,
                     help="comma-separated config prefixes to run "
                          "(e.g. c2,c7); default all. Existing "
                          "RESULTS.json entries for skipped configs are "
                          "kept.")
     args = ap.parse_args(argv)
-    scale = 10 if args.small else 1
+    scale = args.scale or (10 if args.small else 1)
     results = {"device": str(jax.devices()[0]), "configs": {}}
     try:  # merge over previous results when running a subset
         with open("RESULTS.json") as f:
@@ -272,6 +279,61 @@ def main(argv=None):
             nnz=coo.nnz, hbm_gb=round(eng.hbm_bytes / 1e9, 2),
             pack_seconds=round(pack_s, 1), gen_seconds=round(gen_s, 1),
             **acc))
+        del eng, coo
+
+    if not skip("c9"):
+        # config 9: BASELINE config-4 geometry on ONE chip — 100M rows x
+        # 1024 cols, ~2G nnz, h16 codec (~5.4 GB packed stream resident
+        # in HBM) with multi-query groups up to 64 (the SpMM analog of
+        # multi_spmv_gold, gold_algorithms.hpp:21-35). Generation ~7 min,
+        # pack ~1 min (native h16_scatter) on the 1-core host.
+        from ..ops.kernel import topk_spmv_fused_batch_device
+
+        t0 = time.time()
+        coo = create_sparse_matrix(100_000_000 // scale, 1024, 20,
+                                   "gamma", seed=1)
+        gen_s = time.time() - t0
+        t0 = time.time()
+        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="h16",
+                                           width_quantum=4,
+                                           rescore_pool=400))
+        pack_s = time.time() - t0
+        per = _throughput(eng, coo, nq=12)
+        acc = _accuracy(eng, coo, trials=1)
+        entry = dict(
+            per_query_ms=round(per * 1e3, 3),
+            gnnz_per_sec=round(coo.nnz / per / 1e9, 2),
+            hbm_gbps=round(eng.hbm_bytes / per / 1e9, 1),
+            nnz=coo.nnz, hbm_gb=round(eng.hbm_bytes / 1e9, 2),
+            pack_seconds=round(pack_s, 1), gen_seconds=round(gen_s, 1),
+            **acc)
+        cfg, fused = eng.config, eng.fused
+
+        @functools.partial(jax.jit, static_argnames=())
+        def runb9(words, nreal, tabs):
+            def step(c, tab):
+                tv, _ = topk_spmv_fused_batch_device(
+                    words, tab, nreal, cfg=cfg, plan=fused.plan,
+                    block_sublanes=fused.block_sublanes,
+                    num_blocks=fused.num_blocks, codec=cfg.query_codec,
+                    interpret=eng._interpret)
+                return c, tv.max()
+            return jax.lax.scan(step, 0, tabs)[1]
+
+        for Q in (16, 64):
+            ng = 6 if Q == 16 else 4
+            tabs = jnp.stack([
+                jnp.stack([eng._table(q)[0] for q in
+                           create_query_batch(Q, 1024, seed=300 + s)])
+                for s in range(ng)])
+            perg = timed_slope(
+                lambda n: np.asarray(
+                    runb9(eng._fwords, eng._fnreal, tabs[:n])),
+                2, ng)
+            entry[f"batch{Q}_ms_per_query"] = round(perg / Q * 1e3, 3)
+            entry[f"batch{Q}_aggregate_gnnz_per_sec"] = round(
+                coo.nnz * Q / perg / 1e9, 2)
+        record("c9_100M_2Gnnz_h16", entry)
         del eng, coo
 
     with open("RESULTS.json", "w") as f:
