@@ -232,32 +232,52 @@ def _prod_h16(bcs, w, mask_lanes=True):
     Word layout (formats/sell_buckets.py::_scatter_h16): each 16-bit half
     is col[0:10) | val6[10:16). Query via the single-row int4x8 table
     (pack_query_i4s): lane = col & 127 (the hardware gather wraps mod
-    128, so the unmasked low/high half indexes directly), nibble select
-    = (col >> 7) * 4 extracted straight from the word bits. Scores are
-    integer val6 * q4 sums; the engine multiplies by
+    128, so both halves index RAW — i0 even carries half1's bits above
+    bit 7, including a possibly-set sign bit; interpret mode masks
+    because its gather NaN-fills out-of-range), nibble select
+    = (col >> 7) * 4 taken from the word bits. Returns the INT32 product
+    sum v0*q0 + v1*q1 (accumulated in int32, one f32 convert per slice
+    at the fold — see _acc_dtype); the engine multiplies scores by
     value_scale * query_scale at finalize. Halves HBM bytes per nnz —
     the TPU analog of the reference's 20-bit BSCSR packets raising B
-    from 11 to 15 (types.hpp:71-73)."""
+    from 11 to 15 (types.hpp:71-73).
+
+    Nibble extraction uses the complement-shift form measured fastest in
+    experiments/h16_lab.py: shift the nibble to the TOP with
+    sh' = (~w >> s) & 28 == 28 - 4*(col >> 7), then one arithmetic
+    right-shift sign-extends — replaces the mask/xor/subtract chain."""
     if len(bcs) != 1:
         raise ValueError("h16 codec supports max_cols <= 1024")
     bc = bcs[0]
+    nw = ~w
+    i0 = (w & 0x7F) if mask_lanes else w
     h1 = jax.lax.shift_right_logical(w, 16)
-    i0 = w & 0x7F          # w may be negative (half1 sign bit): mask always
-    i1 = (h1 & 0x7F) if mask_lanes else h1  # logical shift: wrap-safe on HW
+    i1 = (h1 & 0x7F) if mask_lanes else h1
     g0 = jnp.take_along_axis(bc, i0, axis=1)
     g1 = jnp.take_along_axis(bc, i1, axis=1)
-    sh0 = jax.lax.shift_right_logical(w, 5) & 28
-    sh1 = jax.lax.shift_right_logical(w, 21) & 28
-    # two's-complement nibble sign extension via the xor trick
-    n0 = ((jax.lax.shift_right_logical(g0, sh0) & 0xF) ^ 8) - 8
-    n1 = ((jax.lax.shift_right_logical(g1, sh1) & 0xF) ^ 8) - 8
+    sh0 = jax.lax.shift_right_logical(nw, 5) & 28
+    sh1 = jax.lax.shift_right_logical(nw, 21) & 28
+    n0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(g0, sh0), 28)
+    n1 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(g1, sh1), 28)
     v0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w, 16), 26)
     v1 = jax.lax.shift_right_arithmetic(w, 26)
-    return (v0 * n0 + v1 * n1).astype(jnp.float32)
+    return v0 * n0 + v1 * n1  # int32; |sum| < 2^31 for any real degree
+
+
+def _acc_dtype(codec: str):
+    """Accumulator dtype per codec: h16 products are small ints, so the
+    chunk accumulate runs in int32 and converts to f32 once per slice at
+    the fold (saves one VPU convert per word — experiments/h16_lab.py)."""
+    return jnp.int32 if codec == "h16" else jnp.float32
+
+
+def _to_f32(score):
+    return score if score.dtype == jnp.float32 else score.astype(jnp.float32)
 
 
 def _codec_prod(codec: str):
-    """(bcs, w, sublanes, mask_lanes) -> per-element score contribution.
+    """(bcs, w, sublanes, mask_lanes) -> per-element score contribution
+    in _acc_dtype(codec).
 
     Default codecs: decoded bf16 value times the gathered query entry.
     h16 computes the full two-nnz product itself (no separate value
@@ -301,14 +321,15 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         # Two independent accumulators break the serial add chain so the
         # VPU can overlap consecutive chunks' gather chains (+12% on v5e).
         n_acc = 2 if width // S >= 2 else 1
-        accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(n_acc)]
+        accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
+                for _ in range(n_acc)]
         for u in range(width // S):
             w = words_ref[pl.ds(j * width + u * S, S), :]
             accs[u % n_acc] = (
                 accs[u % n_acc] + prod(bcs, w, S, mask_lanes)
             )
         acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
-        score = jnp.sum(acc, axis=0, keepdims=True)          # (1, 128)
+        score = _to_f32(jnp.sum(acc, axis=0, keepdims=True))  # (1, 128)
         t = slice_base + i * slices_per_block + j
         # Block-padding slices (t beyond the bucket's real count — a
         # dynamic scalar, so device shards with fewer slices share one
@@ -393,9 +414,9 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 (dual accumulators), plus an optional (1, 128) extra."""
                 if n_chunks == 0:
                     return extra if extra is not None \
-                        else jnp.zeros((1, LANES), jnp.float32)
+                        else jnp.zeros((1, LANES), _acc_dtype(codec))
                 n_acc = 2 if n_chunks >= 2 else 1
-                accs = [jnp.zeros((S, LANES), jnp.float32)
+                accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
                         for _ in range(n_acc)]
                 for u in range(n_chunks):
                     accs[u % n_acc] = accs[u % n_acc] + prod_at(sub0 + u * S)
@@ -404,7 +425,8 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 return s if extra is None else s + extra
 
             def fold(score, t):
-                score = jnp.where(t < pb.slice_base + nreal, score, NEG_INF)
+                score = jnp.where(t < pb.slice_base + nreal,
+                                  _to_f32(score), NEG_INF)
                 _topk_update(tv, tt, score, t + toff, K, tie_safe=tie_safe)
 
             if bps == 1 and W % S == 0:
@@ -455,12 +477,15 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 # blocks; folded at the slice's last block. The final
                 # (short) block may hold fewer than block_sublanes real
                 # sublanes — trailing words are zero-padded, harmless.
-                accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(2)]
+                accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
+                        for _ in range(2)]
                 for u in range(block_sublanes // S):
                     w = words_ref[pl.ds(u * S, S), :]
                     accs[u % 2] = accs[u % 2] + \
                         prod(bcs, w, S, mask_lanes)
-                psum = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
+                # carry scratch is f32: one convert per BLOCK is noise
+                psum = _to_f32(jnp.sum(accs[0] + accs[1], axis=0,
+                                       keepdims=True))
                 off = i - pb.blk_start
                 last = (off % bps) == (bps - 1)
 
@@ -633,7 +658,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     prod = _codec_prod(codec)
 
     def fold(q, score, t, nreal, slice_base):
-        score = jnp.where(t < slice_base + nreal, score, NEG_INF)
+        score = jnp.where(t < slice_base + nreal, _to_f32(score), NEG_INF)
         cur = tv[q]
         cur_min = jnp.min(cur, axis=0, keepdims=True)
         if tie_safe:
@@ -663,7 +688,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                         for q in range(Q)]
 
             def sums_span(sub0, n_chunks, extras=None):
-                accs = [jnp.zeros((S, LANES), jnp.float32)
+                accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
                         for _ in range(Q)]
                 for u in range(n_chunks):
                     ps = prods_at(sub0 + u * S)
@@ -719,7 +744,8 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     for q, s in enumerate(sums_span(j * W, full + 1)):
                         fold(q, s, t0 + j, nreal, pb.slice_base)
             else:
-                accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
+                accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
+                        for _ in range(Q)]
                 for u in range(block_sublanes // S):
                     w = words_ref[pl.ds(u * S, S), :]
                     for q in range(Q):
@@ -731,14 +757,15 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 @pl.when(~last)
                 def _():
                     for q in range(Q):
-                        carry[q] = carry[q] + jnp.sum(accs[q], axis=0)
+                        carry[q] = carry[q] + _to_f32(
+                            jnp.sum(accs[q], axis=0))
 
                 @pl.when(last)
                 def _():
                     t = pb.slice_base + off // bps
                     for q in range(Q):
                         score = (carry[q] +
-                                 jnp.sum(accs[q], axis=0))[None, :]
+                                 _to_f32(jnp.sum(accs[q], axis=0)))[None, :]
                         carry[q] = jnp.zeros_like(carry[q])
                         fold(q, score, t, nreal, pb.slice_base)
 
@@ -814,14 +841,15 @@ def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,
 
     def do_slice(j):
         n_acc = 2 if width // S >= 2 else 1
-        accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(n_acc)]
+        accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
+                for _ in range(n_acc)]
         for u in range(width // S):
             w = words_ref[pl.ds(j * width + u * S, S), :]
             accs[u % n_acc] = (
                 accs[u % n_acc] + prod(bcs, w, S, mask_lanes)
             )
         acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
-        out_ref[j, :] = jnp.sum(acc, axis=0)
+        out_ref[j, :] = _to_f32(jnp.sum(acc, axis=0))
 
     if slices_per_block * max(width // S, 1) <= 64:
         for j in range(slices_per_block):
@@ -895,14 +923,14 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     prod = _codec_prod(codec)
 
     def do_slice(j):
-        accs = [jnp.zeros((S, LANES), jnp.float32) for _ in range(Q)]
+        accs = [jnp.zeros((S, LANES), _acc_dtype(codec)) for _ in range(Q)]
         for u in range(width // S):
             w = words_ref[pl.ds(j * width + u * S, S), :]
             for q in range(Q):
                 accs[q] = accs[q] + prod(bcs_q[q], w, S, mask_lanes)
         t = slice_base + i * slices_per_block + j
         for q in range(Q):
-            score = jnp.sum(accs[q], axis=0, keepdims=True)
+            score = _to_f32(jnp.sum(accs[q], axis=0, keepdims=True))
             score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
             # per-query Top-K buffers live at tv[q], tt[q]
             cur = tv[q]
