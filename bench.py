@@ -54,9 +54,12 @@ def main():
     # of the top-400 candidate pool — the same split as the reference,
     # whose headline times the kernel sweep and merges/checks on the
     # host (host_spmv_bscsr.cpp:323-352, read_result :399-448).
+    # quantum-2 widths cut padding 0.632 -> 0.605 words/nnz at 1024-sublane
+    # blocks (512 blocks pad less but lose more to grid overhead:
+    # experiments/cfg_sweep.py measured q2/1024 fastest end-to-end)
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
-                         query_codec="h16", width_quantum=4,
-                         rescore_pool=400)
+                         query_codec="h16", width_quantum=2,
+                         fused_block_sublanes=1024, rescore_pool=400)
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
 
@@ -86,9 +89,35 @@ def main():
 
         return lambda: np.asarray(run(eng._fwords, eng._fnreal, tables)[0])
 
+    # Same-process HBM stream floor on the SAME words array: the chip's
+    # deliverable bandwidth varies with tenancy (measured 480-870 GB/s on
+    # this v5e across hours of the same day), so pct_of_stream_floor is
+    # the chip-state-independent kernel-quality score (the reference's
+    # roofline normalization, plot_roofline.py:197-209). Floor and kernel
+    # slopes are measured INTERLEAVED so their ratio cancels contention
+    # drift.
+    from spmv_topk_tpu.ops.streamprobe import stream_words_device
+
+    def floor_fn(n_iters: int):
+        salts = jnp.arange(n_iters * LANES, dtype=jnp.int32).reshape(
+            n_iters, 1, LANES)
+
+        @jax.jit
+        def go(words, salts):
+            def step(c, s):
+                out = stream_words_device(
+                    words, s, block_sublanes=eng.fused.block_sublanes,
+                    num_blocks=eng.fused.num_blocks)
+                return c, out.max()
+            _, outs = jax.lax.scan(step, 0, salts)
+            return outs
+
+        return lambda: np.asarray(go(eng._fwords, salts))
+
     short, long_ = stream_fn(4), stream_fn(104)
+    fs, fl = floor_fn(4), floor_fn(104)
     t_compile = time.time()
-    short(); long_()  # compile + warm
+    short(); long_(); fs(); fl()  # compile + warm
     compile_s = time.time() - t_compile
     # Interleaved slope pairs: chip/tunnel contention drifts over minutes,
     # so each slope uses adjacent short/long runs; median rejects
@@ -96,18 +125,29 @@ def main():
     # inter-rep spread exceeds 10% of the median, keep adding rounds (the
     # tunnel was congested) up to a cap, and report every rep so a
     # divergent headline run is diagnosable from the JSON alone.
-    slopes = [(_timed(long_) - _timed(short)) / 100.0 for _ in range(7)]
+
+    def rep():
+        k = (_timed(long_) - _timed(short)) / 100.0
+        f = (_timed(fl) - _timed(fs)) / 100.0
+        return k, f
+
+    reps = [rep() for _ in range(7)]
     for _ in range(3):
-        s = np.sort(slopes)
+        s = np.sort([k for k, _ in reps])
         med = float(np.median(s))
         iqr = float(s[(3 * len(s)) // 4] - s[len(s) // 4])
         if iqr <= 0.10 * med:
             break
-        slopes += [(_timed(long_) - _timed(short)) / 100.0
-                   for _ in range(6)]
+        reps += [rep() for _ in range(6)]
+    slopes = [k for k, _ in reps]
     per_query = float(np.median(slopes))
     slope_spread = float(np.sort(slopes)[(3 * len(slopes)) // 4]
                          - np.sort(slopes)[len(slopes) // 4]) / per_query
+    # per-rep kernel/floor ratio: contention hits adjacent measurements
+    # alike, so the median ratio survives chip-state drift
+    per_sweep_floor = float(np.median([f for _, f in reps]))
+    pct_of_floor = float(np.median([f / k for k, f in reps])) * 100.0
+    stream_floor_gbps = eng.hbm_bytes / per_sweep_floor / 1e9
 
     # secondary: grouped multi-query kernel (the serving batch path) —
     # each matrix block is decoded once for the whole group.
@@ -199,6 +239,8 @@ def main():
         "vs_baseline": round(gnnz / BASELINE_GNNZ, 3),
         "per_query_ms": round(per_query * 1e3, 3),
         "hbm_gbps": round(hbm_gbps, 1),
+        "stream_floor_gbps": round(stream_floor_gbps, 1),
+        "pct_of_stream_floor": round(pct_of_floor, 1),
         "precision_at_100": precision,
         "precision_raw_h16": precision_raw,
         "rescore_host_ms": round(rescore_ms, 3),

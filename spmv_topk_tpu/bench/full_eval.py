@@ -148,9 +148,13 @@ def main(argv=None):
         # the HBM bytes); the exact host rescore of the top-400 pool
         # restores precision 1.0
         pool = 400 if codec in ("i4s", "h16") else None
-        eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec=codec,
-                                           width_quantum=4,
-                                           rescore_pool=pool))
+        # h16 runs the production geometry: quantum-2 widths + 512-sublane
+        # blocks (0.63 -> 0.58 words/nnz on this corpus)
+        quantum = 2 if codec == "h16" else 4
+        eng = TopKSpMV(coo, TopKSpMVConfig(
+            k=100, query_codec=codec, width_quantum=quantum,
+            fused_block_sublanes=512 if codec == "h16" else 1024,
+            rescore_pool=pool))
         per = _throughput(eng, coo)
         acc = _accuracy(eng, coo)
         entry = dict(
@@ -295,7 +299,8 @@ def main(argv=None):
         gen_s = time.time() - t0
         t0 = time.time()
         eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="h16",
-                                           width_quantum=4,
+                                           width_quantum=2,
+                                           fused_block_sublanes=512,
                                            rescore_pool=400))
         pack_s = time.time() - t0
         per = _throughput(eng, coo, nq=12)

@@ -94,7 +94,7 @@ class TopKSpMVConfig:
     sigma_sort: bool = True
     layout: str = "bucketed"        # "bucketed" (static-W, fast) | "streamed"
     fused_block_sublanes: int = 1024  # uniform DMA block of the fused kernel
-    width_quantum: int = 8          # 8, or 4: slice widths in multiples of 4
+    width_quantum: int = 8          # 8, 4, or 2: slice-width granularity
     #   (quantum 4 halves width-quantization padding; two adjacent slices
     #    share a boundary chunk, folded with static sublane splits — fused
     #    kernels only: scores() requires quantum 8)
@@ -142,8 +142,8 @@ class TopKSpMVConfig:
                              "(10-bit column field)")
         if self.query_codec not in ("f32", "int8x4", "i8s", "i4s", "h16"):
             raise ValueError(f"unknown query codec {self.query_codec!r}")
-        if self.width_quantum not in (4, 8):
-            raise ValueError("width_quantum must be 4 or 8")
+        if self.width_quantum not in (2, 4, 8):
+            raise ValueError("width_quantum must be 2, 4 or 8")
 
     @property
     def col_groups(self) -> int:

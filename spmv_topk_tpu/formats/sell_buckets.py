@@ -42,9 +42,20 @@ W_LADDER = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
 # low-degree corpora (1.18 -> 1.08 on gamma deg-20).
 W_LADDER_Q4 = sorted(set(list(range(4, 129, 4)) + W_LADDER))
 
+# Quantum-2 ladder: every even width below 32, multiples of 4 to 64,
+# multiples of 8 beyond (relative quantization waste stays <= ~6%). A
+# PERIOD of 8/gcd(W,8) consecutive slices spans whole chunks, so the
+# fused kernel folds boundary chunks with static sublane splits — cuts
+# the gamma deg-20 h16 padding 0.63 -> 0.58 words/nnz at 512-sublane
+# blocks (the TPU counterpart of the reference's tighter 20-bit packets
+# raising B from 11 to 15, types.hpp:71-73).
+W_LADDER_Q2 = sorted(set(
+    list(range(2, 33, 2)) + list(range(32, 65, 4)) + W_LADDER_Q4))
+
 
 def _quantize_w(w: int, quantum: int = 8) -> int:
-    ladder = W_LADDER_Q4 if quantum == 4 else W_LADDER
+    ladder = (W_LADDER_Q2 if quantum == 2
+              else W_LADDER_Q4 if quantum == 4 else W_LADDER)
     for q in ladder:
         if w <= q:
             return q

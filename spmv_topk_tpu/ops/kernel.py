@@ -31,6 +31,7 @@ double-buffering (the II=1 HBM burst pipeline).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -333,10 +334,10 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         t = slice_base + i * slices_per_block + j
         # Block-padding slices (t beyond the bucket's real count — a
         # dynamic scalar, so device shards with fewer slices share one
-        # compiled kernel) must not displace real candidates: mask to
-        # -inf (scalar compare, branch-free).
-        score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
-        _topk_update(tv, tt, score, t, K, tie_safe=tie_safe)
+        # compiled kernel) must not displace real candidates: add a
+        # scalar-unit -inf penalty (branch-free, one vector-scalar add).
+        pen = jnp.where(t < slice_base + nreal_ref[0, 0], 0.0, NEG_INF)
+        _topk_update(tv, tt, score + pen, t, K, tie_safe=tie_safe)
 
     # Full unrolling of many-slice blocks explodes Mosaic compile time
     # (remote compiles cost tens of seconds); loop when the body is big.
@@ -425,9 +426,15 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 return s if extra is None else s + extra
 
             def fold(score, t):
-                score = jnp.where(t < pb.slice_base + nreal,
-                                  _to_f32(score), NEG_INF)
-                _topk_update(tv, tt, score, t + toff, K, tie_safe=tie_safe)
+                # Branch-free padding mask: t and the bucket's real count
+                # are scalars, so the select computes on the scalar unit
+                # and only ONE vector-scalar add reaches the VPU (the
+                # vector `where` form measured ~1.6 cyc/chunk at W=16;
+                # per-slice `pl.when` guards measured ~6x worse —
+                # experiments/fold_lab.py).
+                pen = jnp.where(t < pb.slice_base + nreal, 0.0, NEG_INF)
+                _topk_update(tv, tt, _to_f32(score) + pen, t + toff, K,
+                             tie_safe=tie_safe)
 
             if bps == 1 and W % S == 0:
                 def do_slice(j):
@@ -441,37 +448,62 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     jax.lax.fori_loop(
                         0, spb, lambda j, c: (do_slice(j), c)[1], 0)
             elif bps == 1:
-                # width_quantum=4 bucket: W = 8m + 4. Adjacent slice pairs
-                # span whole chunks; the shared boundary chunk's top 4
-                # sublanes finish slice 2p, the bottom 4 start slice 2p+1
-                # (static sublane splits — no masks, no dynamic control).
-                H = S // 2
-                full = (W - H) // S
+                # Non-chunk-multiple widths (quantum 4: W = 8m + 4;
+                # quantum 2: W = 4m + 2). A PERIOD of 8/gcd(W,8)
+                # consecutive slices spans a whole number of chunks;
+                # boundary chunks are decoded ONCE and split with static
+                # sublane slices (no masks, no dynamic control flow).
+                g = math.gcd(W, S)
+                Ps = S // g                  # slices per period (2 or 4)
+                Pc = Ps * W // S             # chunks per period
                 t0 = pb.slice_base + (i - pb.blk_start) * spb
 
-                def do_pair(p):
-                    base = p * 2 * W
-                    split = prod_at(base + full * S)
-                    sA = sum_span(
-                        base, full,
-                        jnp.sum(split[:H], axis=0, keepdims=True))
-                    fold(sA, t0 + 2 * p)
-                    sB = sum_span(
-                        base + full * S + S, full,
-                        jnp.sum(split[H:], axis=0, keepdims=True))
-                    fold(sB, t0 + 2 * p + 1)
+                def slice_sum(chunk_at, base, lo, hi):
+                    """Sum of period-relative sublanes [lo, hi)."""
+                    u_lo, r_lo = divmod(lo, S)
+                    u_end, r_end = divmod(hi, S)
+                    if u_lo == u_end:        # W < S: inside one chunk
+                        return jnp.sum(chunk_at(u_lo)[r_lo:r_end],
+                                       axis=0, keepdims=True)
+                    extra = None
+                    u_start = u_lo
+                    if r_lo:
+                        extra = jnp.sum(chunk_at(u_lo)[r_lo:], axis=0,
+                                        keepdims=True)
+                        u_start += 1
+                    if r_end:
+                        part = jnp.sum(chunk_at(u_end)[:r_end], axis=0,
+                                       keepdims=True)
+                        extra = part if extra is None else extra + part
+                    return sum_span(base + u_start * S,
+                                    u_end - u_start, extra)
 
-                if (spb // 2) * (2 * full + 1) <= 128:
-                    for p in range(spb // 2):
-                        do_pair(p)
+                def do_period(p):
+                    base = p * Ps * W
+                    cache = {}
+
+                    def chunk_at(u):
+                        if u not in cache:
+                            cache[u] = prod_at(base + u * S)
+                        return cache[u]
+
+                    for m in range(Ps):
+                        s = slice_sum(chunk_at, base, m * W, (m + 1) * W)
+                        fold(s, t0 + Ps * p + m)
+
+                nper = spb // Ps
+                if nper * Pc <= 128:
+                    for p in range(nper):
+                        do_period(p)
                 else:
                     jax.lax.fori_loop(
-                        0, spb // 2, lambda p, c: (do_pair(p), c)[1], 0)
-                if spb % 2 == 1:
-                    # trailing unpaired slice starts chunk-aligned; the 4
-                    # sublanes past its end are block-tail zeros.
-                    j = spb - 1
-                    fold(sum_span(j * W, full + 1), t0 + j)
+                        0, nper, lambda p, c: (do_period(p), c)[1], 0)
+                for j in range(nper * Ps, spb):
+                    # tail slices of a short block (boundary decodes not
+                    # shared with neighbours — at most Ps - 1 slices)
+                    s = slice_sum(lambda u: prod_at(u * S), 0,
+                                  j * W, (j + 1) * W)
+                    fold(s, t0 + j)
             else:
                 # wide slice: accumulate a partial row sum across bps
                 # blocks; folded at the slice's last block. The final
@@ -498,9 +530,8 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     score = carry[:] + psum
                     carry[:] = jnp.zeros_like(carry)
                     t = pb.slice_base + off // bps
-                    score = jnp.where(t < pb.slice_base + nreal,
-                                      score, NEG_INF)
-                    _topk_update(tv, tt, score, t + toff, K,
+                    pen = jnp.where(t < pb.slice_base + nreal, 0.0, NEG_INF)
+                    _topk_update(tv, tt, score + pen, t + toff, K,
                                  tie_safe=tie_safe)
 
     @pl.when(i == pl.num_programs(1 if part else 0) - 1)
@@ -658,7 +689,9 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     prod = _codec_prod(codec)
 
     def fold(q, score, t, nreal, slice_base):
-        score = jnp.where(t < slice_base + nreal, _to_f32(score), NEG_INF)
+        # scalar-unit padding penalty (see _fused_kernel.fold)
+        pen = jnp.where(t < slice_base + nreal, 0.0, NEG_INF)
+        score = _to_f32(score) + pen
         cur = tv[q]
         cur_min = jnp.min(cur, axis=0, keepdims=True)
         if tie_safe:
@@ -712,37 +745,60 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     jax.lax.fori_loop(
                         0, spb, lambda j, c: (do_slice(j), c)[1], 0)
             elif bps == 1:
-                # width_quantum=4 pair fold (see _fused_kernel)
-                H = S // 2
-                full = (W - H) // S
+                # generic even-width period fold (see _fused_kernel)
+                g = math.gcd(W, S)
+                Ps = S // g
+                Pc = Ps * W // S
                 t0 = pb.slice_base + (i - pb.blk_start) * spb
 
-                def do_pair(p):
-                    base = p * 2 * W
-                    splits = prods_at(base + full * S)
-                    sA = sums_span(
-                        base, full,
-                        [jnp.sum(sp[:H], axis=0, keepdims=True)
-                         for sp in splits])
-                    for q in range(Q):
-                        fold(q, sA[q], t0 + 2 * p, nreal, pb.slice_base)
-                    sB = sums_span(
-                        base + full * S + S, full,
-                        [jnp.sum(sp[H:], axis=0, keepdims=True)
-                         for sp in splits])
-                    for q in range(Q):
-                        fold(q, sB[q], t0 + 2 * p + 1, nreal, pb.slice_base)
+                def slices_sum(chunks_at, base, lo, hi):
+                    """Per-query sums of period-relative sublanes [lo, hi)."""
+                    u_lo, r_lo = divmod(lo, S)
+                    u_end, r_end = divmod(hi, S)
+                    if u_lo == u_end:
+                        return [jnp.sum(c[r_lo:r_end], axis=0, keepdims=True)
+                                for c in chunks_at(u_lo)]
+                    extras = None
+                    u_start = u_lo
+                    if r_lo:
+                        extras = [jnp.sum(c[r_lo:], axis=0, keepdims=True)
+                                  for c in chunks_at(u_lo)]
+                        u_start += 1
+                    if r_end:
+                        parts = [jnp.sum(c[:r_end], axis=0, keepdims=True)
+                                 for c in chunks_at(u_end)]
+                        extras = parts if extras is None else \
+                            [e + p_ for e, p_ in zip(extras, parts)]
+                    return sums_span(base + u_start * S,
+                                     u_end - u_start, extras)
 
-                if (spb // 2) * (2 * full + 1) * Q <= 256:
-                    for p in range(spb // 2):
-                        do_pair(p)
+                def do_period(p):
+                    base = p * Ps * W
+                    cache = {}
+
+                    def chunks_at(u):
+                        if u not in cache:
+                            cache[u] = prods_at(base + u * S)
+                        return cache[u]
+
+                    for m in range(Ps):
+                        ss = slices_sum(chunks_at, base, m * W, (m + 1) * W)
+                        for q in range(Q):
+                            fold(q, ss[q], t0 + Ps * p + m, nreal,
+                                 pb.slice_base)
+
+                nper = spb // Ps
+                if nper * Pc * Q <= 256:
+                    for p in range(nper):
+                        do_period(p)
                 else:
                     jax.lax.fori_loop(
-                        0, spb // 2, lambda p, c: (do_pair(p), c)[1], 0)
-                if spb % 2 == 1:
-                    j = spb - 1
-                    for q, s in enumerate(sums_span(j * W, full + 1)):
-                        fold(q, s, t0 + j, nreal, pb.slice_base)
+                        0, nper, lambda p, c: (do_period(p), c)[1], 0)
+                for j in range(nper * Ps, spb):
+                    ss = slices_sum(lambda u: prods_at(u * S), 0,
+                                    j * W, (j + 1) * W)
+                    for q in range(Q):
+                        fold(q, ss[q], t0 + j, nreal, pb.slice_base)
             else:
                 accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
                         for _ in range(Q)]

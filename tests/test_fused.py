@@ -147,6 +147,76 @@ def test_width_quantum4_pair_fold(codec):
     assert np.abs(np.sort(kv) - np.sort(gv)).max() < tol
 
 
+@pytest.mark.parametrize("codec", ["f32", "h16"])
+def test_width_quantum2_quad_fold(codec):
+    """W % 4 == 2 buckets: a period of four consecutive slices spans whole
+    chunks; the kernel decodes boundary chunks once and splits them with
+    static sublane slices. Tail slices of a short block are folded
+    individually."""
+    coo = create_sparse_matrix(20000, 512, 17, "uniform", seed=93)
+    cfg = TopKSpMVConfig(k=50, max_cols=512, query_codec=codec,
+                         width_quantum=2, block_sublanes=128,
+                         fused_block_sublanes=160,
+                         rescore_pool=200 if codec == "h16" else 0)
+    eng = TopKSpMV(coo, cfg)
+    assert any(p.width % 4 == 2 for p in eng.fused.plan), \
+        "config should produce a quantum-2 bucket"
+    assert any(p.slices_per_block % 4 != 0 for p in eng.fused.plan), \
+        "config should exercise tail slices"
+    q = create_sample_vector(512, seed=94)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 50)
+    assert _precision(gi, ki) >= 0.96
+    tol = 1e-3 if codec != "f32" else 3e-4
+    assert np.abs(np.sort(kv) - np.sort(gv)).max() < tol
+
+
+def test_width_quantum2_narrow_widths():
+    """Widths below one chunk (W in {2, 4, 6}): several slices live inside
+    a single 8-sublane chunk; every slice is a static sub-chunk segment."""
+    coo = create_sparse_matrix(6000, 256, 3, "uniform", seed=95)
+    cfg = TopKSpMVConfig(k=30, max_cols=256, width_quantum=2,
+                         block_sublanes=128, fused_block_sublanes=128)
+    eng = TopKSpMV(coo, cfg)
+    assert any(p.width < 8 for p in eng.fused.plan)
+    q = create_sample_vector(256, seed=96)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 30)
+    assert _precision(gi, ki) >= 0.96
+    # bf16-stored values: deg-3 rows leave little cancellation headroom
+    assert np.abs(np.sort(kv) - np.sort(gv)).max() < 1e-3
+
+
+def test_width_quantum2_batch_matches_single():
+    """The multi-query kernel's quad-fold path agrees with per-query."""
+    coo = create_sparse_matrix(9000, 512, 13, "gamma", seed=97)
+    cfg = TopKSpMVConfig(k=25, max_cols=512, width_quantum=2,
+                         block_sublanes=128, fused_block_sublanes=160)
+    eng = TopKSpMV(coo, cfg)
+    qs = np.stack([create_sample_vector(512, seed=98 + i) for i in range(3)])
+    bi, bv = map(np.asarray, eng.query_batch(qs))
+    for n, q in enumerate(qs):
+        si, sv = map(np.asarray, eng.query(q))
+        np.testing.assert_array_equal(np.sort(bi[n]), np.sort(si))
+        np.testing.assert_allclose(np.sort(bv[n]), np.sort(sv), atol=1e-5)
+
+
+def test_width_quantum2_reduces_padding():
+    # pack-level comparison: quantization waste isolated from block-tail
+    # waste (more q2 buckets mean more part-filled trailing blocks, so at
+    # tiny test-size blocks the FUSED ratio can go either way; production
+    # pairs quantum 2 with 512-sublane blocks where it wins end-to-end).
+    # Low-degree corpus: quantum 2 matters most at small slice widths
+    # (h16's word-degrees halve again — bench.py's production case).
+    coo = create_sparse_matrix(60000, 512, 9, "gamma", seed=85)
+    pads = {}
+    for quantum in (4, 2):
+        cfg = TopKSpMVConfig(max_cols=512, width_quantum=quantum,
+                             block_sublanes=128, fused_block_sublanes=128)
+        pads[quantum] = pack_sell_buckets(coo, cfg).padding_ratio
+    assert pads[2] < pads[4]
+
+
 def test_width_quantum4_reduces_padding():
     # large-matrix regime: small blocks so width quantization (not block
     # tails) dominates the padding, as on production-size corpora
