@@ -57,9 +57,13 @@ def main():
     # quantum-2 widths cut padding 0.632 -> 0.605 words/nnz at 1024-sublane
     # blocks (512 blocks pad less but lose more to grid overhead:
     # experiments/cfg_sweep.py measured q2/1024 fastest end-to-end)
+    # fold_tile=8: one top-2 Top-K fold per 8 slices instead of 8 per-slice
+    # argmin replacements (LIMITED_FINISHED_ROWS analog, types.hpp:77) —
+    # the rescore pool absorbs the rare 3-per-(lane,tile) collisions.
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
                          query_codec="h16", width_quantum=2,
-                         fused_block_sublanes=1024, rescore_pool=400)
+                         fused_block_sublanes=1024, fold_tile=8,
+                         rescore_pool=400)
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
 
@@ -114,8 +118,11 @@ def main():
 
         return lambda: np.asarray(go(eng._fwords, salts))
 
-    short, long_ = stream_fn(4), stream_fn(104)
-    fs, fl = floor_fn(4), floor_fn(104)
+    # long streams ~35 ms of device time: the tunnel's wall-clock jitter
+    # is O(10-100 ms), so slope signal must dominate it (a 104-iteration
+    # stream measured IQR up to 70% under heavy contention)
+    short, long_ = stream_fn(4), stream_fn(304)
+    fs, fl = floor_fn(4), floor_fn(304)
     t_compile = time.time()
     short(); long_(); fs(); fl()  # compile + warm
     compile_s = time.time() - t_compile
@@ -127,8 +134,8 @@ def main():
     # divergent headline run is diagnosable from the JSON alone.
 
     def rep():
-        k = (_timed(long_) - _timed(short)) / 100.0
-        f = (_timed(fl) - _timed(fs)) / 100.0
+        k = (_timed(long_) - _timed(short)) / 300.0
+        f = (_timed(fl) - _timed(fs)) / 300.0
         return k, f
 
     reps = [rep() for _ in range(7)]

@@ -36,10 +36,10 @@ def _t(fn):
     return time.perf_counter() - t
 
 
-def measure(coo, quantum, tgt):
+def measure(coo, quantum, tgt, tile=1):
     cfg = TopKSpMVConfig(k=100, lane_k=8, max_cols=1024, query_codec="h16",
                          width_quantum=quantum, fused_block_sublanes=tgt,
-                         rescore_pool=400)
+                         fold_tile=tile, rescore_pool=400)
     t0 = time.time()
     eng = TopKSpMV(coo, cfg)
     pack_s = time.time() - t0
@@ -90,7 +90,7 @@ def measure(coo, quantum, tgt):
     floor = float(np.median([f for _, f in reps]))
     ratio = float(np.median([f / k for k, f in reps]))
     gb = eng.hbm_bytes / 1e9
-    print(f"q{quantum} tgt{tgt:5d}: {coo.nnz/per/1e9:7.2f} Gnnz/s  "
+    print(f"q{quantum} tgt{tgt:5d} tile{tile}: {coo.nnz/per/1e9:7.2f} Gnnz/s  "
           f"{gb/per:6.1f} GB/s  floor {gb/floor:6.1f} GB/s  "
           f"ratio {100*ratio:5.1f}%  pad {eng.fused.padding_ratio:.3f}  "
           f"pack {pack_s:.0f}s comp {comp_s:.0f}s", flush=True)
@@ -98,11 +98,11 @@ def measure(coo, quantum, tgt):
 
 def main():
     coo = create_sparse_matrix(1_000_000, 1024, 20, "gamma", seed=1)
-    cases = [(2, 512), (4, 512), (4, 1024), (2, 1024)]
+    cases = [(2, 1024, 1), (2, 1024, 8)]
     if len(sys.argv) > 1:
         cases = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
-    for q, tgt in cases:
-        measure(coo, q, tgt)
+    for case in cases:
+        measure(coo, *case)
 
 
 if __name__ == "__main__":

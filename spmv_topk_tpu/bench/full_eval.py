@@ -153,7 +153,7 @@ def main(argv=None):
         quantum = 2 if codec == "h16" else 4
         eng = TopKSpMV(coo, TopKSpMVConfig(
             k=100, query_codec=codec, width_quantum=quantum,
-            fused_block_sublanes=512 if codec == "h16" else 1024,
+            fold_tile=8 if codec == "h16" else 1,
             rescore_pool=pool))
         per = _throughput(eng, coo)
         acc = _accuracy(eng, coo)
@@ -299,8 +299,7 @@ def main(argv=None):
         gen_s = time.time() - t0
         t0 = time.time()
         eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="h16",
-                                           width_quantum=2,
-                                           fused_block_sublanes=512,
+                                           width_quantum=2, fold_tile=8,
                                            rescore_pool=400))
         pack_s = time.time() - t0
         per = _throughput(eng, coo, nq=12)

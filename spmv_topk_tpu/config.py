@@ -117,6 +117,15 @@ class TopKSpMVConfig:
     #   pool the true top-k is almost surely inside the candidate set).
     #   The reference's analog is the host-side merge being the accuracy
     #   backstop for per-partition approximation (topk_errors.py:29-42).
+    fold_tile: int = 1              # slices buffered per Top-K fold in the
+    #   fused kernel. 1 = exact per-slice argmin replacement. 2/4/8 buffer
+    #   that many consecutive slice scores in VMEM scratch and fold ONE
+    #   per-lane tile maximum (plus its slice id) — ~3x cheaper fold at the
+    #   cost of keeping at most one candidate per (lane, tile): the TPU
+    #   analog of the reference's LIMITED_FINISHED_ROWS per-packet cap
+    #   (types.hpp:77), with the same remedy — the host merge/rescore pool
+    #   absorbs the rare collision (topk_errors.py:29-42). Use with
+    #   rescore_pool (bench.py production mode: fold_tile=8, pool=400).
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
     def __post_init__(self):
@@ -144,6 +153,8 @@ class TopKSpMVConfig:
             raise ValueError(f"unknown query codec {self.query_codec!r}")
         if self.width_quantum not in (2, 4, 8):
             raise ValueError("width_quantum must be 2, 4 or 8")
+        if self.fold_tile not in (1, 2, 4, 8):
+            raise ValueError("fold_tile must be 1, 2, 4 or 8")
 
     @property
     def col_groups(self) -> int:

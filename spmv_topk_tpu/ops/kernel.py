@@ -358,8 +358,8 @@ def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
 
 def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
-                  tv, tt, carry, *, cfg: TopKSpMVConfig, plan: tuple,
-                  block_sublanes: int, codec: str = "f32",
+                  tv, tt, carry, tilebuf, *, cfg: TopKSpMVConfig,
+                  plan: tuple, block_sublanes: int, codec: str = "f32",
                   mask_lanes: bool = True, part_slices: int = 0):
     """All buckets in ONE pallas_call: grid = total blocks, one static
     branch per bucket selected on the block index.
@@ -425,7 +425,24 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 s = jnp.sum(acc, axis=0, keepdims=True)
                 return s if extra is None else s + extra
 
-            def fold(score, t):
+            # Tiled fold (cfg.fold_tile > 1): buffer `tile` slice scores
+            # per sub-tile in VMEM scratch, then fold the sub-tile's TWO
+            # best scores per lane (plus their slice ids) — the Top-K
+            # update runs ~tile/2 times less often (the reference's
+            # LIMITED_FINISHED_ROWS per-packet cap, types.hpp:77).
+            # Tile-mates are STRIDED ~spb/tile slices apart: sigma-sort
+            # clusters high-score rows into adjacent slices (degree-score
+            # correlation), so adjacent tile-mates measured 0.88-0.97
+            # precision where strided ones lose nothing measurable; the
+            # rescore pool absorbs the residual 3-per-(lane,tile)
+            # collisions. Slice ids stay affine in the sub-tile row
+            # (t = t0 + row * stride), so reconstruction is one
+            # multiply-add. Engages only on fully-unrolled slice loops;
+            # fori fallbacks fold per slice.
+            tile = cfg.fold_tile
+            cnt = [0, 0, 0, 0]           # open rows per sub-tile (Ps <= 4)
+
+            def score_pen(score, t):
                 # Branch-free padding mask: t and the bucket's real count
                 # are scalars, so the select computes on the scalar unit
                 # and only ONE vector-scalar add reaches the VPU (the
@@ -433,15 +450,57 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                 # per-slice `pl.when` guards measured ~6x worse —
                 # experiments/fold_lab.py).
                 pen = jnp.where(t < pb.slice_base + nreal, 0.0, NEG_INF)
-                _topk_update(tv, tt, _to_f32(score) + pen, t + toff, K,
+                return _to_f32(score) + pen
+
+            def fold(score, t):
+                _topk_update(tv, tt, score_pen(score, t), t + toff, K,
                              tie_safe=tie_safe)
 
-            if bps == 1 and W % S == 0:
-                def do_slice(j):
-                    t = pb.slice_base + (i - pb.blk_start) * spb + j
-                    fold(sum_span(j * W, W // S), t)
+            def tadd(s_idx, score):
+                r = s_idx * tile + cnt[s_idx]
+                tilebuf[r:r + 1, :] = score
+                cnt[s_idx] += 1
 
-                if spb * max(W // S, 1) <= 128:
+            def tflush(s_idx, t0, dt):
+                """Fold sub-tile s_idx holding slices t0, t0+dt, ..."""
+                n = cnt[s_idx]
+                if n == 0:
+                    return
+                r0 = s_idx * tile
+                tb = tilebuf[r0:r0 + n, :]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+                m1 = jnp.max(tb, axis=0, keepdims=True)
+                sl1 = jnp.min(jnp.where(tb == m1, iota, n), axis=0,
+                              keepdims=True)
+                _topk_update(tv, tt, m1, t0 + sl1 * dt, K,
+                             tie_safe=tie_safe)
+                if n > 1:
+                    tb2 = jnp.where(iota == sl1, NEG_INF, tb)
+                    m2 = jnp.max(tb2, axis=0, keepdims=True)
+                    sl2 = jnp.min(jnp.where(tb2 == m2, iota, n), axis=0,
+                                  keepdims=True)
+                    _topk_update(tv, tt, m2, t0 + sl2 * dt, K,
+                                 tie_safe=tie_safe)
+                cnt[s_idx] = 0
+
+            if bps == 1 and W % S == 0:
+                tb0 = pb.slice_base + (i - pb.blk_start) * spb
+
+                def do_slice(j):
+                    fold(sum_span(j * W, W // S), tb0 + j)
+
+                unrolled = spb * max(W // S, 1) <= 128
+                if unrolled and tile > 1:
+                    G = -(-spb // tile)
+                    for gi_ in range(G):
+                        for m in range(tile):
+                            j = gi_ + m * G
+                            if j >= spb:
+                                break
+                            tadd(0, score_pen(sum_span(j * W, W // S),
+                                              tb0 + j))
+                        tflush(0, tb0 + toff + gi_, G)
+                elif unrolled:
                     for j in range(spb):
                         do_slice(j)
                 else:
@@ -478,7 +537,9 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     return sum_span(base + u_start * S,
                                     u_end - u_start, extra)
 
-                def do_period(p):
+                def period_scores(p):
+                    """Per-slice penalized scores of period p (boundary
+                    chunks decoded once via the cache)."""
                     base = p * Ps * W
                     cache = {}
 
@@ -487,12 +548,36 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                             cache[u] = prod_at(base + u * S)
                         return cache[u]
 
-                    for m in range(Ps):
-                        s = slice_sum(chunk_at, base, m * W, (m + 1) * W)
-                        fold(s, t0 + Ps * p + m)
+                    return [
+                        score_pen(
+                            slice_sum(chunk_at, base, m * W, (m + 1) * W),
+                            t0 + Ps * p + m)
+                        for m in range(Ps)
+                    ]
+
+                def do_period(p):
+                    for m, s in enumerate(period_scores(p)):
+                        _topk_update(tv, tt, s, t0 + Ps * p + m + toff, K,
+                                     tie_safe=tie_safe)
 
                 nper = spb // Ps
-                if nper * Pc <= 128:
+                unrolled = nper * Pc <= 128
+                if unrolled and tile > 1:
+                    # strided period groups: sub-tile s collects slice s of
+                    # periods gi_, gi_+Gp, ... — slice ids affine with
+                    # stride Ps*Gp
+                    Gp = -(-nper // tile)
+                    for gi_ in range(Gp):
+                        for m in range(tile):
+                            p = gi_ + m * Gp
+                            if p >= nper:
+                                break
+                            for s_idx, s in enumerate(period_scores(p)):
+                                tadd(s_idx, s)
+                        for s_idx in range(Ps):
+                            tflush(s_idx, t0 + toff + Ps * gi_ + s_idx,
+                                   Ps * Gp)
+                elif unrolled:
                     for p in range(nper):
                         do_period(p)
                 else:
@@ -588,6 +673,7 @@ def topk_spmv_fused_device(
             pltpu.VMEM((K, LANES), jnp.float32),
             pltpu.VMEM((K, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.float32),
+            pltpu.VMEM((32, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(nreal, table, words)
@@ -649,6 +735,7 @@ def topk_spmv_fused_part_device(
             pltpu.VMEM((K, LANES), jnp.float32),
             pltpu.VMEM((K, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.float32),
+            pltpu.VMEM((32, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
