@@ -121,12 +121,30 @@ def body_stream(bc, w):
     return (w + bc).astype(jnp.float32)
 
 
+def body_v2(bc, w):
+    """v2 word layout: col0[0:10) | col1[10:20) | val0[20:26) | val1[26:32)
+    with a REVERSED-nibble query table (group g at nibble 7-g), so the
+    shift-to-top amount is 4*g = (w >> 5) & 28 directly — no complement.
+    Raw gathers: hardware lane gather reads only the low 7 index bits."""
+    i1 = jax.lax.shift_right_logical(w, 10)
+    g0 = jnp.take_along_axis(bc, w, axis=1)
+    g1 = jnp.take_along_axis(bc, i1, axis=1)
+    sh0 = jax.lax.shift_right_logical(w, 5) & 28
+    sh1 = jax.lax.shift_right_logical(w, 15) & 28
+    n0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(g0, sh0), 28)
+    n1 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(g1, sh1), 28)
+    v0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w, 6), 26)
+    v1 = jax.lax.shift_right_arithmetic(w, 26)
+    return v0 * n0 + v1 * n1
+
+
 VARIANTS = {
     "cur": (body_cur, False),
     "nsh": (body_nsh, False),
     "int": (body_int, True),
     "nsh_int": (body_nsh_int, True),
     "nsh_int_raw": (body_nsh_int_raw, True),
+    "v2": (body_v2, True),
     "stream": (body_stream, False),
 }
 
@@ -236,8 +254,9 @@ def check():
     SPB, BLOCK_SUB = spb, w_ * spb
     try:
         for name in VARIANTS:
-            if name == "stream":
-                continue
+            if name in ("stream", "v2"):  # v2 needs v2-layout words; the
+                continue                  # lab times it on v1 data (same
+                                          # op mix), oracle in test_h16
             tv, tt = run(wd, td, variant=name, nb=nb)
             tv, tt = np.asarray(tv), np.asarray(tt)
             # reconstruct: best score per lane must equal oracle max
