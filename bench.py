@@ -1,11 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: fused Top-K SpMV throughput on one TPU chip.
 
-Workload (BASELINE.json config 2): synthetic 1M x 1024 gamma-sparsity
-embedding matrix (~20M nnz, L2-normalized rows), bf16 values, K=100 with
-lane_k=8, single chip — the TPU counterpart of the reference's
-2x10^8-nnz single-card run (plot_roofline.py:201-209; best published
-number: 76.9 GNNZ/s at 20-bit on 32 cores @ 225 MHz).
+Workload: synthetic 10M x 1024 gamma-sparsity embedding matrix (~195M
+nnz, L2-normalized rows), quantized values, K=100 with lane_k=8, single
+chip — the SAME nnz scale as the reference's 2x10^8-nnz single-card
+headline (plot_roofline.py:201-209; best published number: 76.9 GNNZ/s
+at 20-bit on 32 cores @ 225 MHz).
 
 Timing protocol: the per-query kernel is iterated over a stream of
 distinct queries inside one jitted lax.scan; throughput is taken from the
@@ -38,7 +38,7 @@ from spmv_topk_tpu.ops.gold import topk_exact
 
 BASELINE_GNNZ = 76.9  # FPGA 32 cores, 20-bit fixed (BASELINE.md)
 
-NUM_ROWS = 1_000_000
+NUM_ROWS = 10_000_000
 NUM_COLS = 1024
 AVG_DEG = 20
 K = 100
@@ -187,40 +187,49 @@ def main():
     per_query_batch = bslopes[len(bslopes) // 2]
 
     # tertiary: dense-MXU engine (bf16 matmul sweep + approx_max_k) — the
-    # high-throughput serving mode when the dense form fits HBM.
+    # high-throughput serving mode when the dense form fits HBM. At this
+    # corpus scale (10M x 1024 bf16 = 20.7 GB > 16 GB v5e HBM) the dense
+    # form does not fit, so the section self-gates; c2/c4 in
+    # bench/full_eval.py still measure it at 1M rows.
     from spmv_topk_tpu.ops.dense import DenseTopKSpMV, dense_topk_batch
 
-    # raw dense mode (no rescore) so the reported dense precision matches
-    # the timed kernel path
-    deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=K, max_cols=NUM_COLS),
-                         hbm_budget_bytes=8 << 30)
+    per_query_dense = None
+    precision_dense = None
     QD = 64
+    try:
+        # raw dense mode (no rescore) so the reported dense precision
+        # matches the timed kernel path
+        deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=K, max_cols=NUM_COLS),
+                             hbm_budget_bytes=8 << 30)
+    except ValueError:
+        deng = None
 
-    def dense_fn(n_groups: int):
-        qss = jnp.stack([
-            jnp.asarray(create_query_batch(QD, NUM_COLS, seed=5 + i))
-            for i in range(n_groups)
-        ])
+    if deng is not None:
+        def dense_fn(n_groups: int):
+            qss = jnp.stack([
+                jnp.asarray(create_query_batch(QD, NUM_COLS, seed=5 + i))
+                for i in range(n_groups)
+            ])
 
-        @jax.jit
-        def go(A, qss):
-            def step(c, qs):
-                _, v = dense_topk_batch(A, qs, k=K,
-                                        block_rows=deng.block_rows,
-                                        recall_target=deng.recall_target)
-                return c, v.max()
-            _, outs = jax.lax.scan(step, 0, qss)
-            return outs
+            @jax.jit
+            def go(A, qss):
+                def step(c, qs):
+                    _, v = dense_topk_batch(A, qs, k=K,
+                                            block_rows=deng.block_rows,
+                                            recall_target=deng.recall_target)
+                    return c, v.max()
+                _, outs = jax.lax.scan(step, 0, qss)
+                return outs
 
-        return lambda: np.asarray(go(deng._A, qss))
+            return lambda: np.asarray(go(deng._A, qss))
 
-    ds, dl = dense_fn(2), dense_fn(7)
-    ds(); dl()
-    dslopes = sorted((_timed(dl) - _timed(ds)) / 5.0 / QD
-                     for _ in range(3))
-    per_query_dense = dslopes[len(dslopes) // 2]
-    di, _ = map(np.asarray, deng.query_batch(
-        create_query_batch(1, NUM_COLS, seed=3)))
+        ds, dl = dense_fn(2), dense_fn(7)
+        ds(); dl()
+        dslopes = sorted((_timed(dl) - _timed(ds)) / 5.0 / QD
+                         for _ in range(3))
+        per_query_dense = dslopes[len(dslopes) // 2]
+        di, _ = map(np.asarray, deng.query_batch(
+            create_query_batch(1, NUM_COLS, seed=3)))
 
 
     gnnz = coo.nnz / per_query / 1e9
@@ -237,7 +246,8 @@ def main():
     gi, _ = topk_exact(coo, q, K)
     precision = len(set(gi.tolist()) & set(ki.tolist())) / K
     precision_raw = len(set(gi.tolist()) & set(raw_i.tolist())) / K
-    precision_dense = len(set(gi.tolist()) & set(di[0].tolist())) / K
+    if deng is not None:
+        precision_dense = len(set(gi.tolist()) & set(di[0].tolist())) / K
 
     print(json.dumps({
         "metric": "topk_spmv_nnz_throughput",
@@ -254,9 +264,11 @@ def main():
         "per_query_e2e_ms": round(per_query * 1e3 + rescore_ms, 3),
         "batch16_gnnz_per_query": round(coo.nnz / per_query_batch / 1e9, 2),
         "batch16_ms_per_query": round(per_query_batch * 1e3, 3),
-        "dense_batch64_gnnz_per_query": round(
-            coo.nnz / per_query_dense / 1e9, 2),
-        "dense_batch64_us_per_query": round(per_query_dense * 1e6, 1),
+        "dense_batch64_gnnz_per_query": (
+            round(coo.nnz / per_query_dense / 1e9, 2)
+            if per_query_dense else None),
+        "dense_batch64_us_per_query": (
+            round(per_query_dense * 1e6, 1) if per_query_dense else None),
         "dense_precision_at_100": precision_dense,
         "nnz": coo.nnz,
         "padding_ratio": round(eng.fused.padding_ratio, 3),
