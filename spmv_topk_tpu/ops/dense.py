@@ -1,11 +1,14 @@
-"""Dense MXU batch engine: bf16 matmul sweep + approx_max_k.
+"""Dense MXU batch engine: bf16/int8 matmul sweep + approx_max_k.
 
 A TPU-native alternative to the sparse streaming kernel for corpora whose
-DENSE form fits in HBM (N * C * 2 bytes). At ~2% density the dense sweep
-does ~50x the FLOPs, but the MXU has ~100x the VPU's throughput and the
-sweep runs at the HBM roofline, so for batched queries it beats the
+DENSE form fits in HBM (N * C * 2 bytes at bf16; N * C at int8 with
+per-row scales, doubling the servable corpus). At ~2% density the dense
+sweep does ~50x the FLOPs, but the MXU has ~100x the VPU's throughput and
+the sweep runs at the HBM roofline, so for batched queries it beats the
 sparse path by ~3x per query (measured on v5e: ~410 Gnnz-equivalent/s per
-query at batch 64 vs ~140 for the sparse batch kernel).
+query at batch 64 vs ~140 for the sparse batch kernel; the per-block
+matmul cadence is batch-independent up to ~512 queries, so batch 256
+quarters the per-query cost again).
 
 This is the TPU answer to the reference's GPU baseline (cuSPARSE SpMV +
 thrust full argsort, host_spmv_topk_csr_gpu.cu:171-231) with the argsort
@@ -46,13 +49,43 @@ def densify_bf16(coo: CooMatrix, row_block: int = 1 << 17) -> np.ndarray:
     return out
 
 
+def densify_int8(coo: CooMatrix, row_block: int = 1 << 17):
+    """COO -> (dense int8 array, per-row f32 scales), built block-wise.
+
+    Per-row symmetric quantization: row r is stored as
+    round(A[r] / scale[r]) with scale[r] = max|A[r]| / 127, so the int32
+    matmul result times scale[r] recovers the dot product. Per-row (not
+    global) scales keep the quantization error proportional to each row's
+    own magnitude — the same reduced-precision trade the reference makes
+    with its fixed-point values (types.hpp:20-27), but row-adaptive.
+    Halves HBM vs bf16, doubling the corpus size the dense engine serves.
+    """
+    out = np.zeros((coo.num_rows, coo.num_cols), np.int8)
+    scales = np.ones(coo.num_rows, np.float32)
+    csr = coo.to_scipy().tocsr()
+    for lo in range(0, coo.num_rows, row_block):
+        hi = min(lo + row_block, coo.num_rows)
+        d = csr[lo:hi].toarray().astype(np.float32)
+        m = np.abs(d).max(axis=1)
+        s = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
+        out[lo:hi] = np.rint(d / s[:, None]).astype(np.int8)
+        scales[lo:hi] = s
+    return out, scales
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "block_rows", "recall_target"))
-def dense_topk_batch(A, queries, num_real=None, *, k: int, block_rows: int,
+def dense_topk_batch(A, queries, num_real=None, row_scales=None,
+                     query_scales=None, *, k: int, block_rows: int,
                      recall_target: float = 0.98):
     """Top-k rows of A @ queries.T for a (Q, C) query batch.
 
-    A: (N, C) bfloat16, N a multiple of block_rows (zero row padding).
+    A: (N, C) bfloat16 — or int8, in which case `row_scales` is the (N,)
+    f32 per-row dequantization scale from densify_int8, `queries` is the
+    already-quantized (Q, C) int8 batch, and `query_scales` the (Q,) f32
+    per-query scales (selection is per query, so query_scales only affect
+    the returned values, applied once at the end).
+    N a multiple of block_rows (zero row padding).
     num_real: real-row count (scalar, may be traced — the sharded engine
     passes per-device values); pad rows past it score -inf so their
     exact-zero dot products cannot displace real negative-scoring rows.
@@ -60,11 +93,19 @@ def dense_topk_batch(A, queries, num_real=None, *, k: int, block_rows: int,
     """
     Q = queries.shape[0]
     num_blocks = A.shape[0] // block_rows
-    qt = queries.astype(A.dtype).T
+    int8_mode = A.dtype == jnp.int8
+    qt = queries.T if int8_mode else queries.astype(A.dtype).T
 
     def step(c, b):
         blk = jax.lax.dynamic_slice_in_dim(A, b * block_rows, block_rows, 0)
-        s = jnp.dot(blk, qt, preferred_element_type=jnp.float32)  # (B, Q)
+        if int8_mode:
+            s = jnp.dot(blk, qt,                       # int32 MXU matmul
+                        preferred_element_type=jnp.int32)
+            sc = jax.lax.dynamic_slice_in_dim(
+                row_scales, b * block_rows, block_rows, 0)
+            s = s.astype(jnp.float32) * sc[:, None]    # dequantize (B, Q)
+        else:
+            s = jnp.dot(blk, qt, preferred_element_type=jnp.float32)
         if num_real is not None:
             rows = (b * block_rows
                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
@@ -77,7 +118,17 @@ def dense_topk_batch(A, queries, num_real=None, *, k: int, block_rows: int,
     isx = jnp.moveaxis(isx, 0, 1).reshape(Q, -1)
     kk = min(k, vs.shape[1])
     fv, fp = jax.lax.top_k(vs, kk)                   # tiny exact merge
+    if query_scales is not None:
+        fv = fv * query_scales[:, None]
     return jnp.take_along_axis(isx, fp, axis=1), fv
+
+
+def quantize_queries_int8(queries: np.ndarray):
+    """(Q, C) f32 -> (int8 device batch, (Q,) f32 per-query scales)."""
+    m = np.abs(queries).max(axis=1)
+    qscales = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
+    qi = np.rint(queries / qscales[:, None]).astype(np.int8)
+    return jnp.asarray(qi), jnp.asarray(qscales)
 
 
 class DenseTopKSpMV:
@@ -92,12 +143,16 @@ class DenseTopKSpMV:
                  device: Optional[jax.Device] = None,
                  block_rows: int = 1 << 17,
                  recall_target: Optional[float] = None,
-                 hbm_budget_bytes: Optional[int] = None):
+                 hbm_budget_bytes: Optional[int] = None,
+                 dtype: str = "bf16"):
+        if dtype not in ("bf16", "int8"):
+            raise ValueError(f"dtype must be 'bf16' or 'int8', got {dtype!r}")
         if not isinstance(matrix, CooMatrix):
             from ..formats.coo import from_scipy
 
             matrix = from_scipy(matrix)
         self.config = config
+        self.dtype = dtype
         self.num_rows = matrix.num_rows
         self.num_cols = matrix.num_cols
         self.num_nnz = matrix.nnz
@@ -117,7 +172,8 @@ class DenseTopKSpMV:
         self.device = device or jax.devices()[0]
 
         padded_rows = -(-matrix.num_rows // self.block_rows) * self.block_rows
-        dense_bytes = 2 * padded_rows * matrix.num_cols
+        self._elt_bytes = 1 if dtype == "int8" else 2
+        dense_bytes = self._elt_bytes * padded_rows * matrix.num_cols
         budget = hbm_budget_bytes
         if budget is None:
             try:  # stay under ~60% of the device's memory when known
@@ -137,6 +193,17 @@ class DenseTopKSpMV:
                            else None)
 
         pad_rows = (-matrix.num_rows) % self.block_rows
+        if dtype == "int8":
+            bits, scales = densify_int8(matrix)
+            if pad_rows:
+                bits = np.concatenate(
+                    [bits, np.zeros((pad_rows, bits.shape[1]), np.int8)])
+                scales = np.concatenate(
+                    [scales, np.ones(pad_rows, np.float32)])
+            self._A = jax.device_put(bits, self.device)
+            self._scales = jax.device_put(scales, self.device)
+            return
+        self._scales = None
         bits = densify_bf16(matrix)
         if pad_rows:
             bits = np.concatenate(
@@ -158,10 +225,17 @@ class DenseTopKSpMV:
         queries = np.asarray(queries, np.float32)
         num_real = (self.num_rows if self._A.shape[0] > self.num_rows
                     else None)
-        idx, vals = dense_topk_batch(
-            self._A, jnp.asarray(queries), num_real, k=k,
-            block_rows=self.block_rows,
-            recall_target=self.recall_target)
+        if self.dtype == "int8":
+            qdev, qscales = quantize_queries_int8(queries)
+            idx, vals = dense_topk_batch(
+                self._A, qdev, num_real, self._scales, qscales, k=k,
+                block_rows=self.block_rows,
+                recall_target=self.recall_target)
+        else:
+            idx, vals = dense_topk_batch(
+                self._A, jnp.asarray(queries), num_real, k=k,
+                block_rows=self.block_rows,
+                recall_target=self.recall_target)
         # only when k exceeds the number of real rows can pad entries
         # surface; mark them
         idx = jnp.where(idx < self.num_rows, idx, -1)
@@ -183,4 +257,5 @@ class DenseTopKSpMV:
 
     @property
     def hbm_bytes(self) -> int:
-        return int(np.prod(self._A.shape)) * 2
+        # intended on-TPU footprint (the CPU test backend widens bf16->f32)
+        return int(np.prod(self._A.shape)) * self._elt_bytes

@@ -48,6 +48,57 @@ def test_dense_engine_single_query_parity():
     assert _precision(gi, i1) >= 0.9
 
 
+def test_densify_int8_roundtrip():
+    from spmv_topk_tpu.ops.dense import densify_int8
+
+    coo = create_sparse_matrix(600, 256, 8, "uniform", seed=97)
+    bits, scales = densify_int8(coo, row_block=200)
+    dense = bits.astype(np.float32) * scales[:, None]
+    ref = coo.to_scipy().toarray().astype(np.float32)
+    # symmetric per-row int8: error <= scale/2 = max|row|/254 per entry
+    row_max = np.abs(ref).max(axis=1, keepdims=True)
+    assert np.all(np.abs(dense - ref) <= row_max / 254 + 1e-7)
+
+
+def test_dense_engine_int8_vs_exact():
+    """int8 per-row-scale engine: raw ranking close to exact; values
+    dequantized (row scale x query scale) back to dot-product units."""
+    coo = create_sparse_matrix(5000, 512, 12, "gamma", seed=95)
+    eng = st.DenseTopKSpMV(coo, TopKSpMVConfig(k=40, max_cols=512),
+                           block_rows=2048, hbm_budget_bytes=1 << 30,
+                           dtype="int8")
+    Q = create_query_batch(4, 512, seed=96)
+    bi, bv = map(np.asarray, eng.query_batch(Q))
+    for i in range(4):
+        gi, gv = topk_exact(coo, Q[i], 40)
+        assert _precision(gi, bi[i]) >= 0.85
+        np.testing.assert_allclose(np.sort(bv[i]), np.sort(gv), atol=2e-2)
+
+
+def test_dense_engine_int8_rescore_exact():
+    """int8 + exact host rescore: production serving configuration."""
+    coo = create_sparse_matrix(5000, 512, 12, "gamma", seed=95)
+    eng = st.DenseTopKSpMV(
+        coo, TopKSpMVConfig(k=40, max_cols=512, rescore_pool=200),
+        block_rows=2048, hbm_budget_bytes=1 << 30, dtype="int8")
+    Q = create_query_batch(2, 512, seed=96)
+    bi, bv = map(np.asarray, eng.query_batch(Q))
+    for i in range(2):
+        gi, gv = topk_exact(coo, Q[i], 40)
+        assert _precision(gi, bi[i]) >= 0.97
+        np.testing.assert_allclose(np.sort(bv[i]), np.sort(gv), atol=1e-5)
+
+
+def test_dense_int8_halves_hbm():
+    coo = create_sparse_matrix(3000, 256, 10, "uniform", seed=98)
+    e8 = st.DenseTopKSpMV(coo, TopKSpMVConfig(k=25, max_cols=256),
+                          block_rows=1024, hbm_budget_bytes=1 << 30,
+                          dtype="int8")
+    e16 = st.DenseTopKSpMV(coo, TopKSpMVConfig(k=25, max_cols=256),
+                           block_rows=1024, hbm_budget_bytes=1 << 30)
+    assert e8.hbm_bytes * 2 == e16.hbm_bytes
+
+
 def test_dense_engine_memory_guard():
     coo = create_sparse_matrix(3000, 256, 10, "uniform", seed=98)
     with pytest.raises(ValueError):
