@@ -38,3 +38,30 @@ def test_sharded_dense_single_query():
     i1, _ = map(np.asarray, eng.query(q))
     gi, _ = topk_exact(coo, q, 20)
     assert _precision(gi, i1) >= 0.9
+
+
+def test_sharded_dense_int8_matches_exact():
+    """int8 per-row-scale shards: same sentinel masking + ICI merge."""
+    mesh = make_mesh(jax.devices()[:4])
+    coo = create_sparse_matrix(3001, 256, 10, "gamma", seed=100)
+    eng = ShardedDenseTopKSpMV(coo, TopKSpMVConfig(k=30, max_cols=256),
+                               mesh=mesh, block_rows=512, dtype="int8")
+    Q = create_query_batch(3, 256, seed=101)
+    bi, bv = map(np.asarray, eng.query_batch(Q))
+    for i in range(3):
+        gi, gv = topk_exact(coo, Q[i], 30)
+        assert _precision(gi, bi[i]) >= 0.85
+        np.testing.assert_allclose(np.sort(bv[i]), np.sort(gv), atol=2e-2)
+
+
+def test_sharded_dense_int8_rescore_exact():
+    mesh = make_mesh(jax.devices()[:2])
+    coo = create_sparse_matrix(2000, 256, 10, "uniform", seed=102)
+    eng = ShardedDenseTopKSpMV(
+        coo, TopKSpMVConfig(k=20, max_cols=256, rescore_pool=100),
+        mesh=mesh, block_rows=512, dtype="int8")
+    q = np.asarray(create_query_batch(1, 256, seed=103)[0])
+    i1, v1 = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 20)
+    assert _precision(gi, i1) >= 0.95
+    np.testing.assert_allclose(np.sort(v1), np.sort(gv), atol=1e-5)
