@@ -186,48 +186,78 @@ def main():
                      for _ in range(3))
     per_query_batch = bslopes[len(bslopes) // 2]
 
-    # tertiary: dense-MXU engine (bf16 matmul sweep + approx_max_k) — the
+    # tertiary: dense-MXU engine (matmul sweep + approx_max_k) — the
     # high-throughput serving mode when the dense form fits HBM. At this
-    # corpus scale (10M x 1024 bf16 = 20.7 GB > 16 GB v5e HBM) the dense
-    # form does not fit, so the section self-gates; c2/c4 in
-    # bench/full_eval.py still measure it at 1M rows.
-    from spmv_topk_tpu.ops.dense import DenseTopKSpMV, dense_topk_batch
+    # corpus scale the bf16 form does not fit (10M x 1024 x 2 = 20.7 GB >
+    # 16 GB v5e HBM) but the int8 per-row-scale form does (10.3 GB): the
+    # MXU sweeps it at the same block cadence as bf16 (measured: the
+    # (131072, 1024) block matmul takes ~0.6 ms for int8 OR bf16 at any
+    # batch 64-512 — element-cadence-bound, not byte-bound), so int8
+    # doubles the corpus the dense engine serves at zero speed cost.
+    from spmv_topk_tpu.ops.dense import (DenseTopKSpMV, dense_topk_batch,
+                                         quantize_queries_int8)
 
     per_query_dense = None
+    per_query_dense256 = None
     precision_dense = None
+    dense_dtype = None
     QD = 64
-    try:
-        # raw dense mode (no rescore) so the reported dense precision
-        # matches the timed kernel path
-        deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=K, max_cols=NUM_COLS),
-                             hbm_budget_bytes=8 << 30)
-    except ValueError:
-        deng = None
+    # raw dense mode (no rescore) so the reported dense precision
+    # matches the timed kernel path
+    deng = None
+    for dt in ("bf16", "int8"):
+        try:
+            deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=K, max_cols=NUM_COLS),
+                                 hbm_budget_bytes=12 << 30, dtype=dt)
+            dense_dtype = dt
+            break
+        except ValueError:
+            continue
 
     if deng is not None:
-        def dense_fn(n_groups: int):
-            qss = jnp.stack([
-                jnp.asarray(create_query_batch(QD, NUM_COLS, seed=5 + i))
-                for i in range(n_groups)
-            ])
+        def dense_fn(n_groups: int, Q: int):
+            qf = [np.asarray(create_query_batch(Q, NUM_COLS, seed=5 + i),
+                             np.float32) for i in range(n_groups)]
+            if deng.dtype == "int8":
+                pairs = [quantize_queries_int8(q) for q in qf]
+                qss = jnp.stack([p[0] for p in pairs])
+                scs = jnp.stack([p[1] for p in pairs])
+            else:
+                qss = jnp.stack([jnp.asarray(q) for q in qf])
+                scs = jnp.zeros((n_groups, Q), jnp.float32)
 
             @jax.jit
-            def go(A, qss):
-                def step(c, qs):
-                    _, v = dense_topk_batch(A, qs, k=K,
-                                            block_rows=deng.block_rows,
-                                            recall_target=deng.recall_target)
+            def go(A, rsc, qss, scs):
+                def step(c, qs_sc):
+                    qs, sc = qs_sc
+                    if deng.dtype == "int8":
+                        _, v = dense_topk_batch(
+                            A, qs, None, rsc, sc, k=K,
+                            block_rows=deng.block_rows,
+                            recall_target=deng.recall_target)
+                    else:
+                        _, v = dense_topk_batch(
+                            A, qs, k=K, block_rows=deng.block_rows,
+                            recall_target=deng.recall_target)
                     return c, v.max()
-                _, outs = jax.lax.scan(step, 0, qss)
+                _, outs = jax.lax.scan(step, 0, (qss, scs))
                 return outs
 
-            return lambda: np.asarray(go(deng._A, qss))
+            return lambda: np.asarray(go(deng._A, deng._scales, qss, scs))
 
-        ds, dl = dense_fn(2), dense_fn(7)
+        ds, dl = dense_fn(2, QD), dense_fn(7, QD)
         ds(); dl()
         dslopes = sorted((_timed(dl) - _timed(ds)) / 5.0 / QD
                          for _ in range(3))
         per_query_dense = dslopes[len(dslopes) // 2]
+        # wide batch: the sweep cost is per group, so per-query cost
+        # drops ~4x at 256 (the matmul block time is batch-independent
+        # up to ~512 — measured above)
+        ds6, dl6 = dense_fn(2, 256), dense_fn(5, 256)
+        ds6(); dl6()
+        d6 = sorted((_timed(dl6) - _timed(ds6)) / 3.0 / 256
+                    for _ in range(3))
+        per_query_dense256 = d6[len(d6) // 2]
         di, _ = map(np.asarray, deng.query_batch(
             create_query_batch(1, NUM_COLS, seed=3)))
 
@@ -264,11 +294,18 @@ def main():
         "per_query_e2e_ms": round(per_query * 1e3 + rescore_ms, 3),
         "batch16_gnnz_per_query": round(coo.nnz / per_query_batch / 1e9, 2),
         "batch16_ms_per_query": round(per_query_batch * 1e3, 3),
+        "dense_dtype": dense_dtype,
         "dense_batch64_gnnz_per_query": (
             round(coo.nnz / per_query_dense / 1e9, 2)
             if per_query_dense else None),
         "dense_batch64_us_per_query": (
             round(per_query_dense * 1e6, 1) if per_query_dense else None),
+        "dense_batch256_gnnz_per_query": (
+            round(coo.nnz / per_query_dense256 / 1e9, 2)
+            if per_query_dense256 else None),
+        "dense_batch256_us_per_query": (
+            round(per_query_dense256 * 1e6, 1)
+            if per_query_dense256 else None),
         "dense_precision_at_100": precision_dense,
         "nnz": coo.nnz,
         "padding_ratio": round(eng.fused.padding_ratio, 3),
