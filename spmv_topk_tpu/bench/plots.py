@@ -197,6 +197,70 @@ def plot_sparsity(coo, out: str, name: str = "matrix"):
     return ratios
 
 
+def plot_convergence(out: str, n: int = 200_000, k: int = 100,
+                     num_tests: int = 5):
+    """Accuracy-convergence figure (the analog of the reference's
+    plot_convergence.py, which tracked its iterative method's error vs
+    iterations; this method is one-shot, so its convergence axes are the
+    approximation knobs approaching exactness — the same knobs
+    topk_errors.py sweeps).
+
+    Left: closed-form precision@K vs per-partition k (lane_k) for the
+    partition counts that matter on TPU (128 lanes x partitions x
+    devices) plus the FPGA's 32, with Monte-Carlo dots as a check.
+    Right: Monte-Carlo precision@K of the full serving pipeline vs
+    rescore-pool size under codec score noise — where the shipped
+    pool=400 default sits on the curve.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..eval.accuracy_model import (closed_form_precision,
+                                       monte_carlo_precision,
+                                       monte_carlo_rescore_precision)
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.8))
+
+    lane_ks = [1, 2, 3, 4, 6, 8, 12, 16]
+    for b, label in [(32, "32 parts (FPGA)"), (128, "128 (1 chip)"),
+                     (512, "512 (4 chips)"), (1024, "1024 (8 chips)")]:
+        cf = [closed_form_precision(n, b, k, pk) for pk in lane_ks]
+        line, = ax1.plot(lane_ks, cf, marker=".", label=label)
+        mc = [monte_carlo_precision(n, b, k, pk, num_tests=num_tests,
+                                    seed=1) for pk in (2, 4, 8)]
+        ax1.scatter([2, 4, 8], mc, s=14, c=line.get_color(), zorder=3)
+    ax1.set_xlabel("per-partition k (lane_k)")
+    ax1.set_ylabel(f"precision@{k}")
+    ax1.set_ylim(0.0, 1.02)
+    ax1.legend(fontsize=7)
+    ax1.set_title("partition-survival convergence "
+                  "(lines: closed form, dots: MC)", fontsize=9)
+
+    pools = [k, 2 * k, 4 * k, 8 * k]
+    for sigma, label in [(0.0, "exact scores"),
+                         (0.01, "codec noise σ=0.01"),
+                         (0.03, "codec noise σ=0.03")]:
+        pr = [monte_carlo_rescore_precision(
+            n, 128, k, 8, pool, noise_sigma=sigma,
+            num_tests=num_tests, seed=2) for pool in pools]
+        ax2.plot(pools, pr, marker=".", label=label)
+    ax2.axvline(4 * k, ls="--", c="k", lw=0.8)
+    ax2.annotate("shipped pool=400", (4 * k, ax2.get_ylim()[0]),
+                 fontsize=7, ha="left", va="bottom", rotation=90)
+    ax2.set_xlabel("rescore pool size")
+    ax2.set_ylabel(f"precision@{k} after exact rescore")
+    ax2.legend(fontsize=7)
+    ax2.set_title("rescore-pool convergence (128 parts, lane_k=8)",
+                  fontsize=9)
+
+    fig.tight_layout()
+    path = os.path.join(out, "convergence.png")
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("results_dir", nargs="?")
@@ -205,9 +269,14 @@ def main():
     ap.add_argument("--sparsity", default=None, metavar="ROWSxCOLSxDEGxDIST",
                     help="also emit the degree/padding figure for a "
                     "synthetic matrix, e.g. 1000000x1024x20xgamma")
+    ap.add_argument("--convergence", action="store_true",
+                    help="also emit the accuracy-convergence figure "
+                    "(lane_k / rescore-pool sweeps of the analytic model)")
     args = ap.parse_args()
     out = args.out or os.path.join(args.results_dir or ".", "plots")
     os.makedirs(out, exist_ok=True)
+    if args.convergence:
+        print(f"  convergence -> {plot_convergence(out)}")
     if args.sparsity:
         from ..formats.synthetic import create_sparse_matrix
 

@@ -39,6 +39,41 @@ def closed_form_precision(n: int, b: int, k: int, partition_k: int) -> float:
     ]))
 
 
+def monte_carlo_rescore_precision(
+    n: int, b: int, k: int, partition_k: int, pool: int,
+    noise_sigma: float = 0.0, num_tests: int = 10, seed: int | None = 0,
+) -> float:
+    """Monte-Carlo precision@k of the full serving pipeline: partitioned
+    survival (b partitions keeping partition_k each) under score noise
+    (the reduced-precision codec's quantization, cf. the reference's
+    FIXED_WIDTH sweep, types.hpp:20-27), then exact re-ranking of the
+    top-`pool` noisy candidates (`config.rescore_pool`).
+
+    This is the model behind the convergence figure: as `pool` (or
+    partition_k) grows, precision converges to the partition-survival
+    ceiling; noise only hurts when pool is too small to absorb it."""
+    rng = np.random.default_rng(seed)
+    precisions = []
+    for _ in range(num_tests):
+        scores = rng.uniform(size=n)
+        noisy = scores + (rng.normal(0.0, noise_sigma, n)
+                          if noise_sigma > 0 else 0.0)
+        true_top = set(np.argpartition(-scores, k - 1)[:k].tolist())
+        survivors = []
+        for part in np.array_split(np.arange(n), b):
+            s = noisy[part]
+            m = min(partition_k, len(part))
+            survivors.append(part[np.argpartition(-s, m - 1)[:m]])
+        surv = np.concatenate(survivors)
+        p = min(pool, len(surv))
+        cand = (surv if p == len(surv)
+                else surv[np.argpartition(-noisy[surv], p - 1)[:p]])
+        final = (cand if len(cand) <= k
+                 else cand[np.argpartition(-scores[cand], k - 1)[:k]])
+        precisions.append(len(true_top & set(final.tolist())) / k)
+    return float(np.mean(precisions))
+
+
 def monte_carlo_precision(
     n: int, b: int, k: int, partition_k: int, num_tests: int = 10,
     seed: int | None = 0,
@@ -56,6 +91,8 @@ def monte_carlo_precision(
             keep = part[np.argpartition(-s, min(partition_k, len(part)) - 1)[:partition_k]]
             survivors.append(keep)
         surv = np.concatenate(survivors)
-        approx_top = surv[np.argpartition(-scores[surv], k - 1)[:k]]
+        # fewer survivors than k (b * partition_k < k): they are all kept
+        approx_top = (surv if len(surv) <= k
+                      else surv[np.argpartition(-scores[surv], k - 1)[:k]])
         precisions.append(len(true_top & set(approx_top.tolist())) / k)
     return float(np.mean(precisions))

@@ -71,3 +71,13 @@ def test_plot_sparsity(tmp_path):
     # sigma-sorted layouts must be near-dense; unsorted explodes on gamma
     assert by["sigma q8"] < 2.0
     assert by["no-sigma q8"] > by["sigma q8"]
+
+
+def test_plot_convergence(tmp_path):
+    """Accuracy-convergence figure (plot_convergence.py analog)."""
+    import os
+
+    from spmv_topk_tpu.bench import plots
+
+    path = plots.plot_convergence(str(tmp_path), n=20_000, num_tests=2)
+    assert os.path.exists(path)

@@ -63,3 +63,30 @@ def test_accuracy_model_lane_partitioning_is_safe():
     precision ~1 at K=100 with lane_k=8 — the design claim behind
     keeping only 8 candidates per lane."""
     assert closed_form_precision(100000, 128, 100, 8) > 0.999
+
+
+def test_rescore_pool_convergence_model():
+    """The serving-pipeline Monte-Carlo (plot_convergence.py analog):
+    precision converges in the rescore-pool size, noise only hurts small
+    pools, and with zero noise + full pool it matches the pure
+    partition-survival model."""
+    from spmv_topk_tpu.eval.accuracy_model import (
+        monte_carlo_rescore_precision)
+
+    n, b, k, pk = 20000, 16, 50, 8
+    clean = [monte_carlo_rescore_precision(n, b, k, pk, pool, 0.0,
+                                           num_tests=5, seed=3)
+             for pool in (k, 4 * k)]
+    assert clean[1] >= clean[0]
+    # zero noise + pool covering every survivor == plain partitioned MC
+    full = monte_carlo_rescore_precision(n, b, k, pk, b * pk, 0.0,
+                                         num_tests=5, seed=1)
+    plain = monte_carlo_precision(n, b, k, pk, num_tests=5, seed=1)
+    assert abs(full - plain) < 1e-9
+    # heavy noise with a k-sized pool loses precision; a wide pool
+    # recovers it (the design argument for rescore_pool=4k)
+    noisy_small = monte_carlo_rescore_precision(n, b, k, pk, k, 0.05,
+                                                num_tests=5, seed=4)
+    noisy_wide = monte_carlo_rescore_precision(n, b, k, pk, 8 * k, 0.05,
+                                               num_tests=5, seed=4)
+    assert noisy_wide > noisy_small
