@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -179,12 +180,24 @@ def main():
 
         return lambda: np.asarray(go(eng._fwords, eng._fnreal, groups))
 
+    # The batch and dense sections below are tertiary: they must never
+    # cost the primary headline. Each is skipped when the run is already
+    # over budget (remote compiles through the tunnel have been measured
+    # at 20-200+ s each depending on tunnel load) and fenced so an
+    # OOM/compile failure degrades to null fields in the JSON.
+    time_budget_s = float(os.environ.get("SPMV_BENCH_BUDGET_S", "2100"))
+
     QB = 16
-    bs, bl = batch_fn(2, QB), batch_fn(12, QB)
-    bs(); bl()
-    bslopes = sorted((_timed(bl) - _timed(bs)) / 10.0 / QB
-                     for _ in range(3))
-    per_query_batch = bslopes[len(bslopes) // 2]
+    per_query_batch = None
+    try:
+        if time.time() - t0 < time_budget_s:
+            bs, bl = batch_fn(2, QB), batch_fn(12, QB)
+            bs(); bl()
+            bslopes = sorted((_timed(bl) - _timed(bs)) / 10.0 / QB
+                             for _ in range(3))
+            per_query_batch = bslopes[len(bslopes) // 2]
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"batch section skipped: {e!r}", file=sys.stderr)
 
     # tertiary: dense-MXU engine (matmul sweep + approx_max_k) — the
     # high-throughput serving mode when the dense form fits HBM. At this
@@ -205,14 +218,18 @@ def main():
     # raw dense mode (no rescore) so the reported dense precision
     # matches the timed kernel path
     deng = None
-    for dt in ("bf16", "int8"):
-        try:
-            deng = DenseTopKSpMV(coo, TopKSpMVConfig(k=K, max_cols=NUM_COLS),
-                                 hbm_budget_bytes=12 << 30, dtype=dt)
-            dense_dtype = dt
-            break
-        except ValueError:
-            continue
+    if time.time() - t0 < time_budget_s:
+        for dt in ("bf16", "int8"):
+            try:
+                deng = DenseTopKSpMV(coo,
+                                     TopKSpMVConfig(k=K, max_cols=NUM_COLS),
+                                     hbm_budget_bytes=12 << 30, dtype=dt)
+                dense_dtype = dt
+                break
+            except ValueError:
+                continue
+    else:
+        print("dense section skipped: over time budget", file=sys.stderr)
 
     if deng is not None:
         def dense_fn(n_groups: int, Q: int):
@@ -245,21 +262,26 @@ def main():
 
             return lambda: np.asarray(go(deng._A, deng._scales, qss, scs))
 
-        ds, dl = dense_fn(2, QD), dense_fn(7, QD)
-        ds(); dl()
-        dslopes = sorted((_timed(dl) - _timed(ds)) / 5.0 / QD
-                         for _ in range(3))
-        per_query_dense = dslopes[len(dslopes) // 2]
-        # wide batch: the sweep cost is per group, so per-query cost
-        # drops ~4x at 256 (the matmul block time is batch-independent
-        # up to ~512 — measured above)
-        ds6, dl6 = dense_fn(2, 256), dense_fn(5, 256)
-        ds6(); dl6()
-        d6 = sorted((_timed(dl6) - _timed(ds6)) / 3.0 / 256
-                    for _ in range(3))
-        per_query_dense256 = d6[len(d6) // 2]
-        di, _ = map(np.asarray, deng.query_batch(
-            create_query_batch(1, NUM_COLS, seed=3)))
+        try:
+            ds, dl = dense_fn(2, QD), dense_fn(7, QD)
+            ds(); dl()
+            dslopes = sorted((_timed(dl) - _timed(ds)) / 5.0 / QD
+                             for _ in range(3))
+            per_query_dense = dslopes[len(dslopes) // 2]
+            # wide batch: the sweep cost is per group, so per-query cost
+            # drops ~4x at 256 (the matmul block time is batch-independent
+            # up to ~512 — measured above)
+            ds6, dl6 = dense_fn(2, 256), dense_fn(5, 256)
+            ds6(); dl6()
+            d6 = sorted((_timed(dl6) - _timed(ds6)) / 3.0 / 256
+                        for _ in range(3))
+            per_query_dense256 = d6[len(d6) // 2]
+            di, _ = map(np.asarray, deng.query_batch(
+                create_query_batch(1, NUM_COLS, seed=3)))
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            print(f"dense section skipped: {e!r}", file=sys.stderr)
+            deng = None
+            per_query_dense = per_query_dense256 = None
 
 
     gnnz = coo.nnz / per_query / 1e9
@@ -292,8 +314,11 @@ def main():
         "precision_raw_h16": precision_raw,
         "rescore_host_ms": round(rescore_ms, 3),
         "per_query_e2e_ms": round(per_query * 1e3 + rescore_ms, 3),
-        "batch16_gnnz_per_query": round(coo.nnz / per_query_batch / 1e9, 2),
-        "batch16_ms_per_query": round(per_query_batch * 1e3, 3),
+        "batch16_gnnz_per_query": (
+            round(coo.nnz / per_query_batch / 1e9, 2)
+            if per_query_batch else None),
+        "batch16_ms_per_query": (
+            round(per_query_batch * 1e3, 3) if per_query_batch else None),
         "dense_dtype": dense_dtype,
         "dense_batch64_gnnz_per_query": (
             round(coo.nnz / per_query_dense / 1e9, 2)
