@@ -126,6 +126,13 @@ class TopKSpMVConfig:
     #   (types.hpp:77), with the same remedy — the host merge/rescore pool
     #   absorbs the rare collision (topk_errors.py:29-42). Use with
     #   rescore_pool (bench.py production mode: fold_tile=8, pool=400).
+    batch_subgroup: int = 4         # multi-query kernels: queries whose
+    #   accumulators are live at once. Each chunk's query-independent
+    #   decode (shift amounts, matrix values — see ops/kernel._codec_split)
+    #   is shared within a sub-group and recomputed across sub-groups;
+    #   larger groups amortize it further but spill vector registers
+    #   (the VPU holds ~a few dozen (8,128) tiles). 0 keeps the whole
+    #   group live (no re-reads; only sane for tiny groups).
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
     def __post_init__(self):
@@ -155,6 +162,8 @@ class TopKSpMVConfig:
             raise ValueError("width_quantum must be 2, 4 or 8")
         if self.fold_tile not in (1, 2, 4, 8):
             raise ValueError("fold_tile must be 1, 2, 4 or 8")
+        if self.batch_subgroup < 0:
+            raise ValueError("batch_subgroup must be >= 0")
 
     @property
     def col_groups(self) -> int:

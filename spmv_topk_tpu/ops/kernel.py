@@ -291,6 +291,114 @@ def _codec_prod(codec: str):
         _decode_val(w) * g(bcs, w, sublanes, mask_lanes)
 
 
+# --------------------------------------------------------------- batch split
+# Multi-query kernels decode each chunk ONCE and share the query-independent
+# word arithmetic (gather indices, shift amounts, matrix values) across the
+# group — `_codec_split(codec)` returns (shared, apply) with
+#   shared(w, mask_lanes) -> tuple of word-derived (S, 128) arrays
+#   apply(bcs, shared)    -> per-element product in _acc_dtype(codec)
+# so only the query-dependent tail (table gathers + extraction + multiply)
+# scales with the group size. Relying on Mosaic CSE to dedupe the repeated
+# full decode measured ~2x slower at group 16 (experiments/batch_lab.py).
+
+
+def _h16_shared(w, mask_lanes):
+    nw = ~w
+    i0 = (w & 0x7F) if mask_lanes else w
+    i1 = jax.lax.shift_right_logical(w, 16)
+    if mask_lanes:
+        i1 = i1 & 0x7F
+    sh0 = jax.lax.shift_right_logical(nw, 5) & 28
+    sh1 = jax.lax.shift_right_logical(nw, 21) & 28
+    v0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w, 16), 26)
+    v1 = jax.lax.shift_right_arithmetic(w, 26)
+    return (i0, i1, sh0, sh1, v0, v1)
+
+
+def _h16_apply(bcs, s):
+    i0, i1, sh0, sh1, v0, v1 = s
+    bc = bcs[0]
+    g0 = jnp.take_along_axis(bc, i0, axis=1)
+    g1 = jnp.take_along_axis(bc, i1, axis=1)
+    n0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(g0, sh0), 28)
+    n1 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(g1, sh1), 28)
+    return v0 * n0 + v1 * n1
+
+
+def _f32_shared(w, mask_lanes):
+    lo = jax.lax.shift_right_logical(w, 16)
+    if mask_lanes:
+        lo = lo & 0x7F
+    hi = jax.lax.shift_right_logical(w, 23)
+    return (lo, hi, _decode_val(w))
+
+
+def _f32_apply(bcs, s):
+    lo, hi, val = s
+    if len(bcs) == 1:
+        return val * jnp.take_along_axis(bcs[0], lo, axis=1)
+    sel = None
+    for c, bc in enumerate(bcs):
+        g = jnp.take_along_axis(bc, lo, axis=1)
+        sel = g if sel is None else jnp.where(hi == c, g, sel)
+    return val * sel
+
+
+def _int8x4_shared(w, mask_lanes):
+    lo = jax.lax.shift_right_logical(w, 16)
+    if mask_lanes:
+        lo = lo & 0x7F
+    hi9 = jax.lax.shift_right_logical(w, 25)
+    sh = jax.lax.shift_right_logical(w, 20) & 24
+    return (lo, hi9, sh, _decode_val(w))
+
+
+def _int8x4_apply(bcs, s):
+    lo, hi9, sh, val = s
+    sel = None
+    for c, bc in enumerate(bcs):
+        g = jnp.take_along_axis(bc, lo, axis=1)
+        sel = g if sel is None else jnp.where(hi9 == c, g, sel)
+    byte = jax.lax.shift_right_logical(sel, sh) & 0xFF
+    return val * (byte - 128).astype(jnp.float32)
+
+
+def _sign_shared(w, mask_lanes):
+    lo = jax.lax.shift_right_logical(w, 16)
+    if mask_lanes:
+        lo = lo & 0x7F
+    a = jax.lax.shift_right_logical(w, 24) & 31
+    return (lo, a, w, _decode_val(w))
+
+
+def _sign_apply(bcs, s, *, shift):
+    lo, a, w, val = s
+    if len(bcs) == 1:
+        sel = jnp.take_along_axis(bcs[0], lo, axis=1)
+    else:
+        g0 = jnp.take_along_axis(bcs[0], lo, axis=1)
+        g1 = jnp.take_along_axis(bcs[1], lo, axis=1)
+        sel = jnp.where(w < 0, g1, g0)
+    t = jax.lax.shift_left(sel, a)
+    q = jax.lax.shift_right_arithmetic(t, shift)
+    return val * q.astype(jnp.float32)
+
+
+def _codec_split(codec: str):
+    """(shared, apply) pair for the multi-query kernels (see above)."""
+    if codec == "h16":
+        return _h16_shared, _h16_apply
+    if codec == "f32":
+        return _f32_shared, _f32_apply
+    if codec == "int8x4":
+        return _int8x4_shared, _int8x4_apply
+    if codec == "i8s":
+        return _sign_shared, functools.partial(_sign_apply, shift=24)
+    if codec == "i4s":
+        return _sign_shared, functools.partial(_sign_apply, shift=28)
+    raise ValueError(f"unknown query codec {codec!r}")
+
+
 def _bucket_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                    tv, tt, *, cfg: TopKSpMVConfig, num_groups: int,
                    width: int, slices_per_block: int, slice_base: int,
@@ -752,13 +860,22 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     """Multi-query fused kernel: one pallas_call over all buckets AND all
     queries of a group — each matrix block is decoded once and its HBM
     traffic is amortized across the Q query tables (the SpMM analog of
-    multi_spmv_gold, gold_algorithms.hpp:21-35)."""
+    multi_spmv_gold, gold_algorithms.hpp:21-35).
+
+    Queries are processed in sub-groups of cfg.batch_subgroup so only that
+    many accumulators are live at once (Q live (8,128) accumulators spill
+    vector registers); each chunk's query-independent decode is computed
+    once per sub-group via _codec_split and shared explicitly — leaving
+    the dedupe to Mosaic CSE measured ~2x slower at group 16
+    (experiments/batch_lab.py)."""
     tie_safe = cfg.tie_safe_topk
     i = pl.program_id(0)
     S = cfg.chunk_sublanes
     K = cfg.lane_k
     Q = num_queries
     TR = table_rows
+    QG = cfg.batch_subgroup or Q
+    subgroups = [(q0, min(QG, Q - q0)) for q0 in range(0, Q, QG)]
 
     @pl.when(i == 0)
     def _():
@@ -773,7 +890,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
          for c in range(TR)]
         for q in range(Q)
     ]
-    prod = _codec_prod(codec)
+    shared_fn, apply_fn = _codec_split(codec)
 
     def fold(q, score, t, nreal, slice_base):
         # scalar-unit padding penalty (see _fused_kernel.fold)
@@ -800,20 +917,18 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
             nreal = nreal_ref[bi, 0]
 
-            def prods_at(sub):
+            def shared_at(sub):
                 w = words_ref[pl.ds(sub, S), :]
-                # per-query prod; the word-decode subexpressions are
-                # identical across q and CSE'd by Mosaic
-                return [prod(bcs_q[q], w, S, mask_lanes)
-                        for q in range(Q)]
+                return shared_fn(w, mask_lanes)
 
-            def sums_span(sub0, n_chunks, extras=None):
+            def sums_span_sub(q0, ng, sub0, n_chunks, extras=None):
+                """Per-subgroup-query sums of n_chunks full chunks."""
                 accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
-                        for _ in range(Q)]
+                        for _ in range(ng)]
                 for u in range(n_chunks):
-                    ps = prods_at(sub0 + u * S)
-                    for q in range(Q):
-                        accs[q] = accs[q] + ps[q]
+                    sh = shared_at(sub0 + u * S)
+                    for dq in range(ng):
+                        accs[dq] = accs[dq] + apply_fn(bcs_q[q0 + dq], sh)
                 out = [jnp.sum(a, axis=0, keepdims=True) for a in accs]
                 if extras is not None:
                     out = [o + e for o, e in zip(out, extras)]
@@ -822,8 +937,10 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
             if bps == 1 and W % S == 0:
                 def do_slice(j):
                     t = pb.slice_base + (i - pb.blk_start) * spb + j
-                    for q, s in enumerate(sums_span(j * W, W // S)):
-                        fold(q, s, t, nreal, pb.slice_base)
+                    for q0, ng in subgroups:
+                        for dq, s in enumerate(
+                                sums_span_sub(q0, ng, j * W, W // S)):
+                            fold(q0 + dq, s, t, nreal, pb.slice_base)
 
                 if spb * max(W // S, 1) * Q <= 256:
                     for j in range(spb):
@@ -832,14 +949,16 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     jax.lax.fori_loop(
                         0, spb, lambda j, c: (do_slice(j), c)[1], 0)
             elif bps == 1:
-                # generic even-width period fold (see _fused_kernel)
+                # generic even-width period fold (see _fused_kernel) — run
+                # per sub-group so boundary-chunk products are cached for
+                # ng queries at a time
                 g = math.gcd(W, S)
                 Ps = S // g
                 Pc = Ps * W // S
                 t0 = pb.slice_base + (i - pb.blk_start) * spb
 
-                def slices_sum(chunks_at, base, lo, hi):
-                    """Per-query sums of period-relative sublanes [lo, hi)."""
+                def slices_sum(q0, ng, chunks_at, base, lo, hi):
+                    """Sub-group sums of period-relative sublanes [lo, hi)."""
                     u_lo, r_lo = divmod(lo, S)
                     u_end, r_end = divmod(hi, S)
                     if u_lo == u_end:
@@ -856,23 +975,27 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                                  for c in chunks_at(u_end)]
                         extras = parts if extras is None else \
                             [e + p_ for e, p_ in zip(extras, parts)]
-                    return sums_span(base + u_start * S,
-                                     u_end - u_start, extras)
+                    return sums_span_sub(q0, ng, base + u_start * S,
+                                         u_end - u_start, extras)
 
                 def do_period(p):
                     base = p * Ps * W
-                    cache = {}
+                    for q0, ng in subgroups:
+                        cache = {}
 
-                    def chunks_at(u):
-                        if u not in cache:
-                            cache[u] = prods_at(base + u * S)
-                        return cache[u]
+                        def chunks_at(u, q0=q0, ng=ng, cache=cache):
+                            if u not in cache:
+                                sh = shared_at(base + u * S)
+                                cache[u] = [apply_fn(bcs_q[q0 + dq], sh)
+                                            for dq in range(ng)]
+                            return cache[u]
 
-                    for m in range(Ps):
-                        ss = slices_sum(chunks_at, base, m * W, (m + 1) * W)
-                        for q in range(Q):
-                            fold(q, ss[q], t0 + Ps * p + m, nreal,
-                                 pb.slice_base)
+                        for m in range(Ps):
+                            ss = slices_sum(q0, ng, chunks_at, base,
+                                            m * W, (m + 1) * W)
+                            for dq in range(ng):
+                                fold(q0 + dq, ss[dq], t0 + Ps * p + m,
+                                     nreal, pb.slice_base)
 
                 nper = spb // Ps
                 if nper * Pc * Q <= 256:
@@ -882,33 +1005,48 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                     jax.lax.fori_loop(
                         0, nper, lambda p, c: (do_period(p), c)[1], 0)
                 for j in range(nper * Ps, spb):
-                    ss = slices_sum(lambda u: prods_at(u * S), 0,
-                                    j * W, (j + 1) * W)
-                    for q in range(Q):
-                        fold(q, ss[q], t0 + j, nreal, pb.slice_base)
+                    for q0, ng in subgroups:
+                        cache = {}
+
+                        def tail_at(u, q0=q0, ng=ng, cache=cache):
+                            if u not in cache:
+                                sh = shared_at(u * S)
+                                cache[u] = [apply_fn(bcs_q[q0 + dq], sh)
+                                            for dq in range(ng)]
+                            return cache[u]
+
+                        ss = slices_sum(q0, ng, tail_at, 0,
+                                        j * W, (j + 1) * W)
+                        for dq in range(ng):
+                            fold(q0 + dq, ss[dq], t0 + j, nreal,
+                                 pb.slice_base)
             else:
-                accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
-                        for _ in range(Q)]
-                for u in range(block_sublanes // S):
-                    w = words_ref[pl.ds(u * S, S), :]
-                    for q in range(Q):
-                        accs[q] = accs[q] + prod(
-                            bcs_q[q], w, S, mask_lanes)
+                # wide slice: per-sub-group accumulate across the block
+                psums = [None] * Q
+                for q0, ng in subgroups:
+                    accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
+                            for _ in range(ng)]
+                    for u in range(block_sublanes // S):
+                        sh = shared_at(u * S)
+                        for dq in range(ng):
+                            accs[dq] = accs[dq] + apply_fn(
+                                bcs_q[q0 + dq], sh)
+                    for dq in range(ng):
+                        psums[q0 + dq] = _to_f32(
+                            jnp.sum(accs[dq], axis=0))
                 off = i - pb.blk_start
                 last = (off % bps) == (bps - 1)
 
                 @pl.when(~last)
                 def _():
                     for q in range(Q):
-                        carry[q] = carry[q] + _to_f32(
-                            jnp.sum(accs[q], axis=0))
+                        carry[q] = carry[q] + psums[q]
 
                 @pl.when(last)
                 def _():
                     t = pb.slice_base + off // bps
                     for q in range(Q):
-                        score = (carry[q] +
-                                 _to_f32(jnp.sum(accs[q], axis=0)))[None, :]
+                        score = (carry[q] + psums[q])[None, :]
                         carry[q] = jnp.zeros_like(carry[q])
                         fold(q, score, t, nreal, pb.slice_base)
 
@@ -1043,13 +1181,16 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     """Multi-query bucket kernel: the matrix block is decoded once per
     sub-chunk and all queries' gathers share it (the SpMM analog of
     multi_spmv_gold, gold_algorithms.hpp:21-35 — here the batch amortizes
-    both HBM traffic and the word decode)."""
+    both HBM traffic and the word decode). Queries run in sub-groups of
+    cfg.batch_subgroup with an explicitly shared decode (_codec_split)."""
     tie_safe = cfg.tie_safe_topk
     i = pl.program_id(0)
     S = cfg.chunk_sublanes
     K = cfg.lane_k
     Q = num_queries
     TR = table_rows
+    QG = cfg.batch_subgroup or Q
+    subgroups = [(q0, min(QG, Q - q0)) for q0 in range(0, Q, QG)]
 
     @pl.when(i == 0)
     def _():
@@ -1063,30 +1204,36 @@ def _bucket_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
          for c in range(TR)]
         for q in range(Q)
     ]
-    prod = _codec_prod(codec)
+    shared_fn, apply_fn = _codec_split(codec)
 
     def do_slice(j):
-        accs = [jnp.zeros((S, LANES), _acc_dtype(codec)) for _ in range(Q)]
-        for u in range(width // S):
-            w = words_ref[pl.ds(j * width + u * S, S), :]
-            for q in range(Q):
-                accs[q] = accs[q] + prod(bcs_q[q], w, S, mask_lanes)
         t = slice_base + i * slices_per_block + j
-        for q in range(Q):
-            score = _to_f32(jnp.sum(accs[q], axis=0, keepdims=True))
-            score = jnp.where(t < slice_base + nreal_ref[0, 0], score, NEG_INF)
-            # per-query Top-K buffers live at tv[q], tt[q]
-            cur = tv[q]
-            cur_min = jnp.min(cur, axis=0, keepdims=True)
-            if tie_safe:
-                iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
-                slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
-                               keepdims=True)
-                replace = (iota == slot) & (score >= cur_min)
-            else:
-                replace = (cur == cur_min) & (score >= cur_min)
-            tv[q] = jnp.where(replace, score, cur)
-            tt[q] = jnp.where(replace, t, tt[q])
+        for q0, ng in subgroups:
+            accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
+                    for _ in range(ng)]
+            for u in range(width // S):
+                w = words_ref[pl.ds(j * width + u * S, S), :]
+                sh = shared_fn(w, mask_lanes)
+                for dq in range(ng):
+                    accs[dq] = accs[dq] + apply_fn(bcs_q[q0 + dq], sh)
+            for dq in range(ng):
+                q = q0 + dq
+                score = _to_f32(jnp.sum(accs[dq], axis=0, keepdims=True))
+                score = jnp.where(t < slice_base + nreal_ref[0, 0],
+                                  score, NEG_INF)
+                # per-query Top-K buffers live at tv[q], tt[q]
+                cur = tv[q]
+                cur_min = jnp.min(cur, axis=0, keepdims=True)
+                if tie_safe:
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (K, LANES), 0)
+                    slot = jnp.min(jnp.where(cur == cur_min, iota, K),
+                                   axis=0, keepdims=True)
+                    replace = (iota == slot) & (score >= cur_min)
+                else:
+                    replace = (cur == cur_min) & (score >= cur_min)
+                tv[q] = jnp.where(replace, score, cur)
+                tt[q] = jnp.where(replace, t, tt[q])
 
     # Cap compile size: unroll small blocks, loop big ones (see
     # _bucket_kernel).
