@@ -278,4 +278,68 @@ void csr_rescore(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Multithreaded CPU Top-K SpMV baseline: the role of the reference's
+// sparse_dot_topn anchor (awesome_cossim_topn x 40 Xeon threads,
+// /root/reference/test_cpu.py:104; 0.4 Gnnz/s on 2x Xeon 6248,
+// plot_roofline.py:180-183) — that library is not installable in this
+// image, so the fused "SpMV + running top-k, no materialized score
+// vector" CPU loop lives here instead. Each thread sweeps a contiguous
+// row range of the CSR keeping a k-element min-heap; heaps are merged
+// and sorted by (value desc, index asc) at the end.
+// ---------------------------------------------------------------------------
+
+void cpu_topk_spmv(const int64_t* indptr, const int32_t* indices,
+                   const float* data, const float* vec, int64_t num_rows,
+                   int32_t k, int32_t n_threads, int32_t* out_idx,
+                   float* out_val) {
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(64, int(n_threads)));
+  using Cand = std::pair<float, int32_t>;
+  auto better = [](const Cand& a, const Cand& b) {
+    // heap comparator: "a ranks before b": heap front = the WORST kept candidate
+    return a.first > b.first ||
+           (a.first == b.first && a.second < b.second);
+  };
+  std::vector<std::vector<Cand>> heaps(n_threads);
+  std::vector<std::thread> ts;
+  int64_t chunk = cdiv(num_rows, n_threads);
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * chunk, hi = std::min(num_rows, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=, &heaps]() {
+      auto& heap = heaps[t];
+      heap.reserve(k + 1);
+      for (int64_t r = lo; r < hi; r++) {
+        float acc = 0.0f;
+        for (int64_t j = indptr[r]; j < indptr[r + 1]; j++) {
+          acc += data[j] * vec[indices[j]];
+        }
+        Cand c{acc, int32_t(r)};
+        if (int64_t(heap.size()) < k) {
+          heap.push_back(c);
+          std::push_heap(heap.begin(), heap.end(), better);
+        } else if (better(c, heap.front())) {
+          std::pop_heap(heap.begin(), heap.end(), better);
+          heap.back() = c;
+          std::push_heap(heap.begin(), heap.end(), better);
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  std::vector<Cand> all;
+  for (auto& h : heaps) all.insert(all.end(), h.begin(), h.end());
+  int64_t kk = std::min<int64_t>(k, all.size());
+  std::partial_sort(all.begin(), all.begin() + kk, all.end(), better);
+  for (int64_t i = 0; i < kk; i++) {
+    out_idx[i] = all[i].second;
+    out_val[i] = all[i].first;
+  }
+  for (int64_t i = kk; i < k; i++) {
+    out_idx[i] = -1;
+    out_val[i] = 0.0f;
+  }
+}
+
 }  // extern "C"

@@ -415,8 +415,14 @@ class TopKSpMV:
             if n_real < group_size:  # pad the tail group (static shapes)
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], group_size - n_real, 0)])
-            tabs, scales = zip(*(self._table(q) for q in chunk))
-            tv, tt = self.batch_candidates_traceable(jnp.stack(tabs))
+            padded = np.zeros((group_size, self.config.max_cols), np.float32)
+            padded[:, : self.num_cols] = chunk
+            from .ops.quantized_query import pack_query_tables
+
+            tabs, scales = pack_query_tables(padded,
+                                             self.config.query_codec)
+            tv, tt = self.batch_candidates_traceable(
+                jax.device_put(jnp.asarray(tabs), self.device))
             idx, vals = self._jit_batch_finalize(tv, tt, self._row_ids)
             vals = vals * (jnp.asarray(scales, jnp.float32)[:, None]
                            * self._value_scale)

@@ -44,9 +44,41 @@ def _sparse_dot_topn_fn():
     return run
 
 
-def topk_cpu(csr, query: np.ndarray, k: int, sdt_fn=None, csr_t=None):
+def _native_fn(csr):
+    """Fused threaded Top-K SpMV from the native runtime — the stand-in
+    for sparse_dot_topn's fused C++ loop when that library is missing
+    (runtime/spmv_runtime.cpp::cpu_topk_spmv). Returns None when the .so
+    is unavailable."""
+    from ..utils import native
+
+    if not native.available():
+        return None
+    indptr = np.ascontiguousarray(csr.indptr, np.int64)
+    indices = np.ascontiguousarray(csr.indices, np.int32)
+    data = np.ascontiguousarray(csr.data, np.float32)
+
+    # symbol-availability probe on an empty matrix (stale .so guard)
+    probe = native.cpu_topk_spmv(np.zeros(1, np.int64),
+                                 np.zeros(0, np.int32),
+                                 np.zeros(0, np.float32),
+                                 np.zeros(csr.shape[1], np.float32), 1)
+    if probe is None:
+        return None
+
+    def run(query, k):
+        return native.cpu_topk_spmv(
+            indptr, indices, data,
+            np.ascontiguousarray(query, np.float32), k)
+
+    return run
+
+
+def topk_cpu(csr, query: np.ndarray, k: int, sdt_fn=None, csr_t=None,
+             native_fn=None):
     if sdt_fn is not None:
         return sdt_fn(csr_t, query, k)
+    if native_fn is not None:
+        return native_fn(query, k)
     scores = csr @ query
     idx = np.argpartition(-scores, min(k, len(scores) - 1))[:k]
     idx = idx[np.argsort(-scores[idx], kind="stable")]
@@ -70,18 +102,21 @@ def main(argv=None):
     sdt_fn = _sparse_dot_topn_fn()
     # the transpose is part of the resident index, not the per-query cost
     csr_t = csr.T.tocsr() if sdt_fn is not None else None
+    native_fn = _native_fn(csr) if sdt_fn is None else None
 
     times = []
     for it in range(args.num_tests):
         q = create_sample_vector(coo.num_cols, seed=it)
         t0 = time.perf_counter()
-        topk_cpu(csr, q, args.k, sdt_fn=sdt_fn, csr_t=csr_t)
+        topk_cpu(csr, q, args.k, sdt_fn=sdt_fn, csr_t=csr_t,
+                 native_fn=native_fn)
         times.append(time.perf_counter() - t0)
     mean_s = float(np.mean(times[min(2, len(times) - 1):]))
     print(json.dumps(dict(
         metric="cpu_topk_spmv", mean_ms=round(mean_s * 1e3, 3),
         gnnz_per_sec=round(coo.nnz / mean_s / 1e9, 3), nnz=coo.nnz, k=args.k,
         backend=("sparse_dot_topn" if sdt_fn is not None else
+                 "native_threaded" if native_fn is not None else
                  "scipy_fallback"),
         sparse_dot_topn_available=sdt_fn is not None,
     )))

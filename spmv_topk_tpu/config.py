@@ -126,13 +126,14 @@ class TopKSpMVConfig:
     #   (types.hpp:77), with the same remedy — the host merge/rescore pool
     #   absorbs the rare collision (topk_errors.py:29-42). Use with
     #   rescore_pool (bench.py production mode: fold_tile=8, pool=400).
-    batch_subgroup: int = 4         # multi-query kernels: queries whose
-    #   accumulators are live at once. Each chunk's query-independent
-    #   decode (shift amounts, matrix values — see ops/kernel._codec_split)
-    #   is shared within a sub-group and recomputed across sub-groups;
-    #   larger groups amortize it further but spill vector registers
-    #   (the VPU holds ~a few dozen (8,128) tiles). 0 keeps the whole
-    #   group live (no re-reads; only sane for tiny groups).
+    batch_subgroup: int = 0         # multi-query kernels: queries whose
+    #   accumulators are live at once (0 = the whole group). Each chunk's
+    #   query-independent decode (ops/kernel._codec_split) is shared
+    #   within a sub-group and recomputed across sub-groups. Measured on
+    #   v5e: all-live wins at EVERY group size (no register cliff even at
+    #   64 live (8,128) accumulators — 258.5 vs 250.2 Gnnz/s/query at
+    #   Q=64 with sub-groups of 8; sub-groups of 4 cost ~15% at Q=8).
+    #   Keep 0 unless a future geometry shows spills.
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
 
     def __post_init__(self):

@@ -117,6 +117,52 @@ def pack_query_table(vec_padded: np.ndarray, codec: str):
     raise ValueError(f"unknown query codec {codec!r}")
 
 
+def pack_query_tables(qs_padded: np.ndarray, codec: str):
+    """(Q, C)-padded f32 queries -> ((Q, rows, 128) tables, (Q,) scales).
+
+    Vectorized batch form of pack_query_table: the serving path packs a
+    whole query group in one NumPy pass and ships it in ONE device
+    transfer (per-query device_puts through the tunnel dominated the
+    group setup at small corpora)."""
+    qs = np.asarray(qs_padded, np.float32)
+    Qn, C = qs.shape
+    if codec == "f32":
+        return qs.reshape(Qn, -1, LANES), np.ones(Qn, np.float32)
+    if codec in ("i4s", "h16"):
+        scale = np.abs(qs).max(axis=1) / 7.0
+        scale[scale == 0.0] = 1.0
+        q = (np.clip(np.round(qs / scale[:, None]), -7, 7)
+             .astype(np.int64) & 0xF)
+        n_rows = -(-C // (8 * LANES))
+        q = np.pad(q, ((0, 0), (0, n_rows * 8 * LANES - C))).reshape(
+            Qn, n_rows, 8, LANES)
+        table = sum((q[:, :, n].astype(np.uint32) << np.uint32(4 * n))
+                    for n in range(8)).view(np.int32)
+        return table, scale
+    if codec == "int8x4":
+        scale = np.abs(qs).max(axis=1) / 127.0
+        scale[scale == 0.0] = 1.0
+        q = np.clip(np.round(qs / scale[:, None]), -127, 127).astype(
+            np.int64) + 128
+        n_rows = -(-C // (4 * LANES))
+        q = np.pad(q, ((0, 0), (0, n_rows * 4 * LANES - C))).reshape(
+            Qn, n_rows, 4, LANES)
+        table = (q[:, :, 0] | (q[:, :, 1] << 8) | (q[:, :, 2] << 16)
+                 | (q[:, :, 3] << 24)).astype(np.uint32).view(np.int32)
+        return table, scale
+    if codec == "i8s":
+        scale = np.abs(qs).max(axis=1) / 127.0
+        scale[scale == 0.0] = 1.0
+        q = np.clip(np.round(qs / scale[:, None]), -127, 127).astype(np.int8)
+        n_rows = -(-C // (4 * LANES))
+        q = np.pad(q, ((0, 0), (0, n_rows * 4 * LANES - C))).view(
+            np.uint8).astype(np.uint32).reshape(Qn, n_rows, 4, LANES)
+        table = (q[:, :, 0] | (q[:, :, 1] << 8) | (q[:, :, 2] << 16)
+                 | (q[:, :, 3] << 24)).view(np.int32)
+        return table, scale
+    raise ValueError(f"unknown query codec {codec!r}")
+
+
 def validate_codec(codec: str, max_cols: int) -> None:
     if codec == "i8s" and max_cols > 1024:
         raise ValueError("i8s codec supports max_cols <= 1024 "

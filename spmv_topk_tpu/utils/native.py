@@ -71,6 +71,12 @@ def _load():
         lib.coo_is_sorted.restype = ctypes.c_int32
     except AttributeError:
         pass
+    try:
+        lib.cpu_topk_spmv.argtypes = [
+            i64p, i32p, f32p, f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, i32p, f32p]
+    except AttributeError:  # stale .so without the symbol
+        pass
     _LIB = lib
     return lib
 
@@ -175,6 +181,28 @@ def h16_scatter(rows, cols, vals, row_start, rank, slice_off, total_sub,
         _ptr(slice_off, ctypes.c_int64), ctypes.c_float(1.0 / value_scale),
         _ptr(words, ctypes.c_int32), n_threads)
     return words
+
+
+def cpu_topk_spmv(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                  vec: np.ndarray, k: int, n_threads: int = 0):
+    """Threaded fused CPU Top-K SpMV over a CSR (the reference's
+    sparse_dot_topn CPU-anchor role, test_cpu.py:104 — that library is
+    not installable here, so the native runtime provides the same fused
+    'SpMV + running top-k' loop). Returns (idx, val) sorted by value
+    desc (ties: index asc), or None if the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "cpu_topk_spmv"):
+        return None
+    num_rows = len(indptr) - 1
+    out_idx = np.empty(k, np.int32)
+    out_val = np.empty(k, np.float32)
+    lib.cpu_topk_spmv(_ptr(indptr, ctypes.c_int64),
+                      _ptr(indices, ctypes.c_int32),
+                      _ptr(data, ctypes.c_float), _ptr(vec, ctypes.c_float),
+                      num_rows, k, n_threads,
+                      _ptr(out_idx, ctypes.c_int32),
+                      _ptr(out_val, ctypes.c_float))
+    return out_idx, out_val
 
 
 def csr_rescore(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,

@@ -65,10 +65,18 @@ def timed_slope(run_n, short: int, long_: int, reps: int = 5) -> float:
 def enable_compilation_cache(path: str = ".jax_cache") -> None:
     """Persistent executable cache: kernel compiles through the axon
     remote-compile tunnel cost tens of seconds each; cached reloads are
-    ~0.5 s. Safe to call multiple times."""
+    ~0.5 s. Safe to call multiple times.
+
+    CPU backends are excluded: XLA:CPU AOT executables are keyed without
+    the host's CPU feature set, so an artifact cached on one machine
+    SIGILLs/segfaults when loaded on another (observed: an avx512-built
+    cache entry crashing the pytest CPU suite on this host). CPU compiles
+    are fast; only the remote TPU compiles are worth persisting."""
     import jax
 
     try:
+        if str(jax.config.jax_platforms or "").startswith("cpu"):
+            return
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

@@ -98,3 +98,19 @@ def test_sell_rejects_too_many_partitions():
     coo = create_sparse_matrix(200, 256, 10, "uniform", seed=6)
     with pytest.raises(ValueError):
         pack_sell(coo, TopKSpMVConfig(num_partitions=16, max_cols=256))
+
+
+def test_pack_query_tables_matches_per_query():
+    """Batched table packer == per-query packer for every codec."""
+    from spmv_topk_tpu.ops.quantized_query import (pack_query_table,
+                                                   pack_query_tables)
+    rng = np.random.default_rng(11)
+    qs = rng.standard_normal((5, 1024)).astype(np.float32)
+    qs[3] = 0.0  # zero-query scale guard
+    for codec in ("f32", "int8x4", "i8s", "i4s", "h16"):
+        tabs, scales = pack_query_tables(qs, codec)
+        assert tabs.shape[0] == len(qs) and scales.shape == (len(qs),)
+        for i, q in enumerate(qs):
+            t1, s1 = pack_query_table(q, codec)
+            np.testing.assert_array_equal(tabs[i], t1, err_msg=codec)
+            assert scales[i] == pytest.approx(s1), codec

@@ -84,3 +84,26 @@ def test_native_h16_scatter_matches_numpy(monkeypatch):
         assert (bn.width, bn.slice_base) == (bp.width, bp.slice_base)
         np.testing.assert_array_equal(bn.words, bp.words)
     np.testing.assert_array_equal(m_native.row_ids, m_numpy.row_ids)
+
+
+def test_native_cpu_topk_spmv_matches_scipy():
+    """Native threaded CPU Top-K SpMV == scipy matvec + argsort oracle."""
+    from spmv_topk_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    coo = create_sparse_matrix(5000, 512, 12, "gamma", seed=21)
+    csr = coo.to_scipy()
+    q = np.random.default_rng(22).standard_normal(512).astype(np.float32)
+    k = 50
+    out = native.cpu_topk_spmv(
+        np.ascontiguousarray(csr.indptr, np.int64),
+        np.ascontiguousarray(csr.indices, np.int32),
+        np.ascontiguousarray(csr.data, np.float32), q, k)
+    assert out is not None
+    idx, val = out
+    scores = csr @ q
+    want = np.argsort(-scores, kind="stable")[:k]
+    np.testing.assert_allclose(np.sort(val), np.sort(scores[want]),
+                               rtol=1e-6)
+    assert set(idx.tolist()) == set(want.tolist())
