@@ -187,7 +187,11 @@ def main():
     # OOM/compile failure degrades to null fields in the JSON.
     time_budget_s = float(os.environ.get("SPMV_BENCH_BUDGET_S", "2100"))
 
-    QB = 16
+    # group 32: the measured sweet spot of the sparse batch path on this
+    # corpus (201 / 236.8 / 258.5 Gnnz/s per query at groups 16 / 32 / 64
+    # — experiments/batch_lab.py + round-3 A/B jobs); 64 only adds ~9%
+    # for 2x the compile and group latency.
+    QB = 32
     per_query_batch = None
     try:
         if time.time() - t0 < time_budget_s:
@@ -314,10 +318,10 @@ def main():
         "precision_raw_h16": precision_raw,
         "rescore_host_ms": round(rescore_ms, 3),
         "per_query_e2e_ms": round(per_query * 1e3 + rescore_ms, 3),
-        "batch16_gnnz_per_query": (
+        "batch32_gnnz_per_query": (
             round(coo.nnz / per_query_batch / 1e9, 2)
             if per_query_batch else None),
-        "batch16_ms_per_query": (
+        "batch32_ms_per_query": (
             round(per_query_batch * 1e3, 3) if per_query_batch else None),
         "dense_dtype": dense_dtype,
         "dense_batch64_gnnz_per_query": (
