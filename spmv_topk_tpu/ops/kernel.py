@@ -298,8 +298,10 @@ def _codec_prod(codec: str):
 #   shared(w, mask_lanes) -> tuple of word-derived (S, 128) arrays
 #   apply(bcs, shared)    -> per-element product in _acc_dtype(codec)
 # so only the query-dependent tail (table gathers + extraction + multiply)
-# scales with the group size. Relying on Mosaic CSE to dedupe the repeated
-# full decode measured ~2x slower at group 16 (experiments/batch_lab.py).
+# scales with the group size. Measured NEUTRAL vs relying on Mosaic CSE to
+# dedupe a repeated full decode (299.4 vs 292.3 Gnnz/s/query at group 16,
+# experiments/batch_lab.py) — kept because it makes the shared/per-query
+# boundary explicit and is what enables batch_subgroup partitioning.
 
 
 def _h16_shared(w, mask_lanes):
@@ -862,12 +864,13 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     traffic is amortized across the Q query tables (the SpMM analog of
     multi_spmv_gold, gold_algorithms.hpp:21-35).
 
-    Queries are processed in sub-groups of cfg.batch_subgroup so only that
-    many accumulators are live at once (Q live (8,128) accumulators spill
-    vector registers); each chunk's query-independent decode is computed
-    once per sub-group via _codec_split and shared explicitly — leaving
-    the dedupe to Mosaic CSE measured ~2x slower at group 16
-    (experiments/batch_lab.py)."""
+    Queries are processed in sub-groups of cfg.batch_subgroup (0 = all
+    live at once — the measured v5e optimum at every group size up to 64:
+    no register-spill cliff, see config.batch_subgroup); each chunk's
+    query-independent decode is computed once per sub-group via
+    _codec_split. The explicit split measured neutral vs Mosaic CSE of a
+    repeated full decode (experiments/batch_lab.py) and is kept for the
+    explicit shared/per-query boundary it gives the sub-group loop."""
     tie_safe = cfg.tie_safe_topk
     i = pl.program_id(0)
     S = cfg.chunk_sublanes

@@ -48,3 +48,19 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The suite compiles hundreds of distinct XLA:CPU programs in one
+    process; with all of them kept loaded, a later LLVM JIT compile can
+    segfault (observed deterministically at ~80 programs on jax 0.9.0,
+    always inside backend_compile_and_load). Dropping the pjit/pallas
+    executable caches between modules keeps the resident JIT state small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

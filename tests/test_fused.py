@@ -201,6 +201,21 @@ def test_width_quantum2_batch_matches_single():
         np.testing.assert_allclose(np.sort(bv[n]), np.sort(sv), atol=1e-5)
 
 
+def test_batch_subgroup_matches_all_live():
+    """batch_subgroup > 0 (sub-grouped accumulators, non-dividing size)
+    returns exactly the all-live (default 0) results."""
+    coo = create_sparse_matrix(9000, 512, 13, "gamma", seed=97)
+    base = dict(k=25, max_cols=512, width_quantum=2,
+                block_sublanes=128, fused_block_sublanes=160)
+    eng0 = TopKSpMV(coo, TopKSpMVConfig(**base))
+    eng3 = TopKSpMV(coo, TopKSpMVConfig(batch_subgroup=3, **base))
+    qs = np.stack([create_sample_vector(512, seed=70 + i) for i in range(5)])
+    bi0, bv0 = map(np.asarray, eng0.query_batch(qs))
+    bi3, bv3 = map(np.asarray, eng3.query_batch(qs))
+    np.testing.assert_array_equal(bi0, bi3)
+    np.testing.assert_allclose(bv0, bv3, atol=1e-6)
+
+
 @pytest.mark.parametrize("tile", [2, 8])
 def test_fold_tile_top2(tile):
     """Tiled Top-K fold: one top-2 fold per `tile` slices. Sigma-sort
