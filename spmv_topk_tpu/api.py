@@ -367,7 +367,20 @@ class TopKSpMV:
         return idx, vals
 
     def batch_candidates_traceable(self, tables):
-        """(Q, K, 128) candidates from stacked (Q, rows, 128) tables."""
+        """(Q, K, 128) candidates from stacked (Q, rows, 128) tables —
+        (Q, P, K, 128) on partitioned engines (finalize flattens P)."""
+        if self.config.num_partitions > 1:
+            from .ops.kernel import topk_spmv_fused_batch_part_device
+
+            return topk_spmv_fused_batch_part_device(
+                self._fwords, tables, self._fnreal, cfg=self.config,
+                plan=self.fused.plan,
+                block_sublanes=self.fused.block_sublanes,
+                num_blocks=self.fused.num_blocks,
+                num_partitions=self.fused.num_partitions,
+                part_slices=self.fused.part_slices,
+                interpret=self._interpret, codec=self.config.query_codec,
+            )
         from .ops.kernel import topk_spmv_fused_batch_device
 
         return topk_spmv_fused_batch_device(
@@ -392,7 +405,7 @@ class TopKSpMV:
             rescore_pool = self.config.rescore_pool
         k = max(user_k, rescore_pool) if rescore_pool else user_k
         queries = np.asarray(queries, dtype=np.float32)
-        if self.config.layout != "bucketed" or self.config.num_partitions > 1:
+        if self.config.layout != "bucketed":
             outs = [self.query(q, user_k, rescore_pool=rescore_pool)
                     for q in queries]
             return (jnp.stack([jnp.asarray(o[0]) for o in outs]),

@@ -139,7 +139,11 @@ def plan(
     assumptions = [
         f"per-core rate = {m['gnnz_core']} Gnnz/s measured on v5e "
         f"(range {m['gnnz_range'][0]}-{m['gnnz_range'][1]} with chip "
-        f"tenancy, RESULTS.md); {'MEASURED chip' if chip['name'] == 'v5e' else chip['name'] + ' chips ASSUME per-core parity (VPU-bound kernel, 2 cores via num_partitions=2)'}",
+        f"tenancy, RESULTS.md); "
+        + ("MEASURED chip" if chip["name"] == "v5e" else
+           f"{chip['name']} chips ASSUME per-core parity (VPU-bound "
+           "kernel; both query() and query_batch() run partitioned "
+           "kernels with num_partitions=2 on megacore chips)"),
     ]
 
     # Batch rate: interpolate measured group points (per-query Gnnz/s/core).

@@ -858,7 +858,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                         tv, tt, carry, *, cfg: TopKSpMVConfig, plan: tuple,
                         block_sublanes: int, codec: str,
                         num_queries: int, table_rows: int,
-                        mask_lanes: bool = True):
+                        mask_lanes: bool = True, part_slices: int = 0):
     """Multi-query fused kernel: one pallas_call over all buckets AND all
     queries of a group — each matrix block is decoded once and its HBM
     traffic is amortized across the Q query tables (the SpMM analog of
@@ -870,9 +870,16 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
     query-independent decode is computed once per sub-group via
     _codec_split. The explicit split measured neutral vs Mosaic CSE of a
     repeated full decode (experiments/batch_lab.py) and is kept for the
-    explicit shared/per-query boundary it gives the sub-group loop."""
+    explicit shared/per-query boundary it gives the sub-group loop.
+
+    part_slices > 0 adds a leading PARALLEL grid axis of row partitions
+    exactly as in _fused_kernel (the megacore P2 analog, types.hpp:36-38):
+    stored slice indices are offset by p * part_slices so the (Q, P, K,
+    128) candidates resolve against the stacked row_ids."""
     tie_safe = cfg.tie_safe_topk
-    i = pl.program_id(0)
+    part = part_slices > 0
+    i = pl.program_id(1 if part else 0)
+    toff = pl.program_id(0) * part_slices if part else 0
     S = cfg.chunk_sublanes
     K = cfg.lane_k
     Q = num_queries
@@ -909,7 +916,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         else:
             replace = (cur == cur_min) & (score >= cur_min)
         tv[q] = jnp.where(replace, score, cur)
-        tt[q] = jnp.where(replace, t, tt[q])
+        tt[q] = jnp.where(replace, t + toff, tt[q])
 
     for bi, pb in enumerate(plan):
         W = pb.width
@@ -918,7 +925,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
 
         @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
         def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
-            nreal = nreal_ref[bi, 0]
+            nreal = nreal_ref[0, bi, 0] if part else nreal_ref[bi, 0]
 
             def shared_at(sub):
                 w = words_ref[pl.ds(sub, S), :]
@@ -1053,10 +1060,10 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                         carry[q] = jnp.zeros_like(carry[q])
                         fold(q, score, t, nreal, pb.slice_base)
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(1 if part else 0) - 1)
     def _():
-        topv_ref[:] = tv[:]
-        topt_ref[:] = tt[:]
+        topv_ref[...] = tv[:].reshape(topv_ref.shape)
+        topt_ref[...] = tt[:].reshape(topt_ref.shape)
 
 
 @functools.partial(
@@ -1104,6 +1111,69 @@ def topk_spmv_fused_batch_device(
             pltpu.VMEM((Q, K, LANES), jnp.int32),
             pltpu.VMEM((Q, LANES), jnp.float32),
         ],
+        interpret=interpret,
+    )(nreal, tables.reshape(Q * TR, LANES), words)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "num_partitions", "part_slices", "interpret", "codec"),
+)
+def topk_spmv_fused_batch_part_device(
+    words, tables, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int, num_partitions: int,
+    part_slices: int, interpret: bool = False, codec: str = "f32",
+):
+    """Partitioned multi-query kernel: P row partitions on a PARALLEL
+    grid axis (megacore, like topk_spmv_fused_part_device) sweeping Q
+    query tables per block decode — the batch path keeps both cores of a
+    v4/v5p chip busy instead of falling back to one query at a time.
+
+    words: (P * num_blocks * block_sublanes, 128) int32, partition-major.
+    tables: (Q, table_rows, 128); nreal: (P, num_buckets, 1) int32.
+    Returns (topv, topt) of (Q, P, lane_k, 128) — vmap finalize_topk over
+    axis 0 against the (P * part_slices, 128) stacked row_ids.
+    """
+    Q, TR, _ = tables.shape
+    K = cfg.lane_k
+    P = num_partitions
+    kernel = functools.partial(
+        _fused_kernel_batch, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, codec=codec,
+        num_queries=Q, table_rows=TR, mask_lanes=interpret,
+        part_slices=part_slices,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(P, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, nreal.shape[1], 1), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Q * TR, LANES), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES),
+                         lambda p, i, nb=num_blocks: (p * nb + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, 1, K, LANES), lambda p, i: (0, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1, K, LANES), lambda p, i: (0, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, P, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Q, P, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, K, LANES), jnp.float32),
+            pltpu.VMEM((Q, K, LANES), jnp.int32),
+            pltpu.VMEM((Q, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(nreal, tables.reshape(Q * TR, LANES), words)
 

@@ -201,6 +201,54 @@ def test_width_quantum2_batch_matches_single():
         np.testing.assert_allclose(np.sort(bv[n]), np.sort(sv), atol=1e-5)
 
 
+@pytest.mark.parametrize("codec", ["f32", "h16"])
+def test_partitioned_batch_matches_single(codec):
+    """query_batch on a num_partitions>1 engine (the partitioned
+    multi-query kernel, megacore P2 for the batch path) agrees with the
+    partitioned single-query path query by query."""
+    coo = create_sparse_matrix(2400, 512, 12, "gamma", seed=160)
+    cfg = TopKSpMVConfig(k=30, max_cols=512, num_partitions=3,
+                         block_sublanes=64, fused_block_sublanes=64,
+                         query_codec=codec,
+                         rescore_pool=120 if codec == "h16" else None)
+    eng = TopKSpMV(coo, cfg)
+    qs = np.stack([create_sample_vector(512, seed=161 + i)
+                   for i in range(3)])
+    bi, bv = map(np.asarray, eng.query_batch(qs))
+    for n, q in enumerate(qs):
+        si, sv = map(np.asarray, eng.query(q))
+        np.testing.assert_array_equal(np.sort(bi[n]), np.sort(si))
+        np.testing.assert_allclose(np.sort(bv[n]), np.sort(sv), atol=1e-5)
+    gi, _ = topk_exact(coo, qs[0], 30)
+    assert _precision(gi, bi[0]) >= (1.0 if codec == "h16" else 0.96)
+
+
+def test_partitioned_batch_wide_slices():
+    """Partitioned batch kernel with wide buckets: the per-query carry
+    must not leak across partitions (each partition's block run ends on a
+    slice boundary by construction)."""
+    rng = np.random.default_rng(163)
+    from spmv_topk_tpu.formats.coo import CooMatrix
+    rows, cols, vals = [], [], []
+    for r in range(384):
+        d = 600 if r < 128 else 8
+        c = np.sort(rng.choice(1024, size=d, replace=False))
+        rows.append(np.full(d, r)); cols.append(c)
+        vals.append(rng.random(d, dtype=np.float32))
+    coo = CooMatrix(np.concatenate(rows), np.concatenate(cols),
+                    np.concatenate(vals), 384, 1024)
+    cfg = TopKSpMVConfig(k=20, max_cols=1024, num_partitions=2,
+                         block_sublanes=64, fused_block_sublanes=64)
+    eng = TopKSpMV(coo, cfg)
+    qs = np.stack([create_sample_vector(1024, seed=164 + i)
+                   for i in range(2)])
+    bi, bv = map(np.asarray, eng.query_batch(qs))
+    for n, q in enumerate(qs):
+        gi, gv = topk_exact(coo, q, 20)
+        assert _precision(gi, bi[n]) >= 0.95
+        assert np.abs(np.sort(bv[n]) - np.sort(gv)).max() < 2e-3
+
+
 def test_batch_subgroup_matches_all_live():
     """batch_subgroup > 0 (sub-grouped accumulators, non-dividing size)
     returns exactly the all-live (default 0) results."""
