@@ -12,5 +12,6 @@ from .config import (
 )
 from .api import TopKSpMV
 from .ops.dense import DenseTopKSpMV
+from .tune import autotune
 
 __version__ = "0.1.0"
