@@ -64,3 +64,26 @@ def _clear_jax_caches_between_modules():
     import jax
 
     jax.clear_caches()
+
+
+_TESTS_SINCE_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_resident_programs():
+    """Also clear every few tests WITHIN a module.
+
+    The heavy kernel modules (test_fused: ~40 tests, several compiles
+    each) can cross the ~80-resident-program segfault threshold on their
+    own — the per-module clear above is not enough (observed once at
+    test_fused mid-module in a full-suite run). Intra-module sharing of
+    compiled programs is rare (each test builds fresh shapes/configs), so
+    the recompile cost of clearing every 4th test is small.
+    """
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 4:
+        _TESTS_SINCE_CLEAR[0] = 0
+        import jax
+
+        jax.clear_caches()

@@ -45,13 +45,19 @@ def test_kernel_vs_exact(dist, partitions):
 
 def test_kernel_matches_sell_oracle_bitwise():
     """Against the packet-accurate software model (the analog of
-    spmv_coo_gold_top_k_packet, gold_algorithms.hpp:277-362)."""
+    spmv_coo_gold_top_k_packet, gold_algorithms.hpp:277-362).
+
+    The partitioned (megacore) engine drops the per-bucket layout, so the
+    oracle reads an unpartitioned pack of the same matrix — per-row scores
+    agree to f32 accumulation-order noise (< the 1e-5 tolerance)."""
     coo = create_sparse_matrix(700, 256, 12, "gamma", seed=11)
     cfg = TopKSpMVConfig(k=30, num_partitions=2, max_cols=256, block_sublanes=32)
     eng = TopKSpMV(coo, cfg)
+    import dataclasses
+    oracle_eng = TopKSpMV(coo, dataclasses.replace(cfg, num_partitions=1))
     q = create_sample_vector(256, seed=12)
     ki, kv = map(np.asarray, eng.query(q))
-    oi, ov = topk_spmv_sell_xla(eng.sell, q, 30)
+    oi, ov = topk_spmv_sell_xla(oracle_eng.sell, q, 30)
     assert _precision(oi, ki) == 1.0
     np.testing.assert_allclose(kv, ov, atol=1e-5)
 
