@@ -39,8 +39,10 @@ from spmv_topk_tpu.ops.gold import topk_exact
 
 BASELINE_GNNZ = 76.9  # FPGA 32 cores, 20-bit fixed (BASELINE.md)
 
-NUM_ROWS = 10_000_000
-NUM_COLS = 1024
+# headline corpus (the reference benchmark shape at 10x the rows);
+# override for smoke runs: SPMV_BENCH_ROWS=300000 python bench.py
+NUM_ROWS = int(os.environ.get("SPMV_BENCH_ROWS", 10_000_000))
+NUM_COLS = int(os.environ.get("SPMV_BENCH_COLS", 1024))
 AVG_DEG = 20
 K = 100
 
@@ -314,6 +316,12 @@ def main():
         "hbm_gbps": round(hbm_gbps, 1),
         "stream_floor_gbps": round(stream_floor_gbps, 1),
         "pct_of_stream_floor": round(pct_of_floor, 1),
+        # the binding ceiling for single-query h16 is the VPU decode
+        # envelope (~17-19 vector ops per 2048-nnz chunk at ~2 ops/cycle
+        # ~= 226 Gnnz/s — counted and lab-measured in ROOFLINE.md §2),
+        # not the DMA roofline; report both scores
+        "vpu_envelope_gnnz": 226.0,
+        "pct_of_vpu_envelope": round(gnnz / 226.0 * 100, 1),
         "precision_at_100": precision,
         "precision_raw_h16": precision_raw,
         "rescore_host_ms": round(rescore_ms, 3),

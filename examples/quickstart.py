@@ -28,6 +28,10 @@ batch = np.stack([create_sample_vector(1024, seed=10 + i) for i in range(16)])
 idx, vals = engine.query_batch(batch)
 print("batch:", np.asarray(idx).shape)
 
+# Not sure which codec/config? Let the library measure it on a sample:
+#   cfg, report = st.autotune(corpus, k=100, target_precision=0.98)
+#   engine = st.TopKSpMV(corpus, cfg)
+
 # Fast mode: the h16 codec packs 2 nnz per word (2 B/nnz of HBM) and
 # sweeps at the memory roofline (~3x the FPGA reference per chip); the
 # rescore pool re-ranks the top-400 candidates with exact f32 dot
