@@ -35,7 +35,12 @@ def main(argv=None):
     ap.add_argument("--layout", default="bucketed",
                     choices=["bucketed", "streamed"])
     ap.add_argument("--codec", default="f32",
-                    choices=["f32", "int8x4", "i8s", "i4s"])
+                    choices=["f32", "int8x4", "i8s", "i4s", "h16"])
+    ap.add_argument("--autotune", action="store_true",
+                    help="measure codec candidates on a corpus sample and "
+                         "use the fastest config meeting --target-precision "
+                         "(overrides --codec/--rescore-pool)")
+    ap.add_argument("--target-precision", type=float, default=0.98)
     ap.add_argument("--lane-k", type=int, default=8)
     ap.add_argument("--rescore-pool", type=int, default=None,
                     help="exact host CSR re-ranking of the top-N device "
@@ -67,14 +72,26 @@ def main(argv=None):
     else:
         ap.error("provide -m or --synthetic")
 
-    cfg = TopKSpMVConfig(
-        k=args.k, lane_k=args.lane_k, layout=args.layout,
-        query_codec=args.codec, max_cols=max(128, -(-coo.num_cols // 128) * 128),
-        # pattern matrices (-v: all values 1) are tie-heavy: keep the
-        # reference's exact first-of-ties argmin semantics for them
-        tie_safe_topk=args.ignore_values,
-        rescore_pool=args.rescore_pool,
-    )
+    if args.autotune:
+        from .tune import autotune
+
+        cfg, report = autotune(coo, k=args.k,
+                               target_precision=args.target_precision)
+        if args.debug:
+            for r in report:
+                print(r)
+        print(f"autotune: codec={cfg.query_codec} fold_tile={cfg.fold_tile} "
+              f"rescore_pool={cfg.rescore_pool}")
+    else:
+        cfg = TopKSpMVConfig(
+            k=args.k, lane_k=args.lane_k, layout=args.layout,
+            query_codec=args.codec,
+            max_cols=max(128, -(-coo.num_cols // 128) * 128),
+            # pattern matrices (-v: all values 1) are tie-heavy: keep the
+            # reference's exact first-of-ties argmin semantics for them
+            tie_safe_topk=args.ignore_values,
+            rescore_pool=args.rescore_pool,
+        )
     if args.engine == "dense":
         from .ops.dense import DenseTopKSpMV
         from .parallel.sharded_dense import ShardedDenseTopKSpMV
