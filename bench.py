@@ -195,6 +195,8 @@ def main():
     # for 2x the compile and group latency.
     QB = 32
     per_query_batch = None
+    batch_e2e = None
+    batch_e2e_raw = None
     try:
         if time.time() - t0 < time_budget_s:
             bs, bl = batch_fn(2, QB), batch_fn(12, QB)
@@ -202,6 +204,23 @@ def main():
             bslopes = sorted((_timed(bl) - _timed(bs)) / 10.0 / QB
                              for _ in range(3))
             per_query_batch = bslopes[len(bslopes) // 2]
+            # e2e batch serving incl. the THREADED host rescore
+            # (api.query_batch overlaps group g's rescore with group
+            # g+1's sweep; VERDICT r3 #6). Compare against the same
+            # wall protocol with rescore off: the difference is the
+            # rescore overhead (the wall numbers themselves include
+            # per-group tunnel dispatch, which the slope numbers above
+            # cancel — compare e2e vs e2e_raw, not e2e vs slope).
+            qs = create_query_batch(QB * 8, NUM_COLS, seed=6)
+            eng.query_batch(qs[:QB], group_size=QB)              # warm
+            eng.query_batch(qs[:QB], group_size=QB, rescore_pool=0)
+            batch_e2e = min(_timed(
+                lambda: eng.query_batch(qs, group_size=QB))
+                for _ in range(3)) / len(qs)
+            batch_e2e_raw = min(_timed(
+                lambda: eng.query_batch(qs, group_size=QB,
+                                        rescore_pool=0))
+                for _ in range(3)) / len(qs)
     except Exception as e:  # pragma: no cover - hardware-path guard
         print(f"batch section skipped: {e!r}", file=sys.stderr)
 
@@ -331,6 +350,11 @@ def main():
             if per_query_batch else None),
         "batch32_ms_per_query": (
             round(per_query_batch * 1e3, 3) if per_query_batch else None),
+        "batch32_e2e_ms_per_query": (
+            round(batch_e2e * 1e3, 3) if batch_e2e else None),
+        "batch32_rescore_overhead_pct": (
+            round((batch_e2e / batch_e2e_raw - 1) * 100, 1)
+            if batch_e2e and batch_e2e_raw else None),
         "dense_dtype": dense_dtype,
         "dense_batch64_gnnz_per_query": (
             round(coo.nnz / per_query_dense / 1e9, 2)

@@ -10,7 +10,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# editable-install fallback: lets the example run from a plain git
+# checkout; `pip install -e .` (pyproject.toml) makes this a no-op
+if __package__ is None:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import spmv_topk_tpu as st
 from spmv_topk_tpu.formats import read_mtx, create_sample_vector

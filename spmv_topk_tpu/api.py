@@ -174,10 +174,6 @@ class TopKSpMV:
 
         if self.config.layout != "bucketed":
             raise NotImplementedError("save() requires the bucketed layout")
-        if self.config.num_partitions > 1:
-            raise NotImplementedError(
-                "save() supports num_partitions=1 engines (the partitioned "
-                "stream snapshot format is not defined)")
         f = self.fused
         plan_arr = np.array(
             [[p.width, p.slices_per_block, p.blocks_per_slice,
@@ -187,7 +183,12 @@ class TopKSpMV:
         meta = dict(config=cfg, block_sublanes=f.block_sublanes,
                     num_blocks=f.num_blocks, num_rows=f.num_rows,
                     num_cols=f.num_cols, num_nnz=f.num_nnz,
-                    value_scale=f.value_scale, format_version=1)
+                    value_scale=f.value_scale, format_version=2)
+        if self.config.num_partitions > 1:
+            # partition-major stream (PartitionedFusedMatrix): the extra
+            # geometry needed to rebuild the part kernel's layout
+            meta["num_partitions"] = f.num_partitions
+            meta["part_slices"] = f.part_slices
         # explicit file handle: np.savez(str) appends '.npz' when the
         # suffix is missing, but load() opens the literal path
         with open(path, "wb") as fh:
@@ -197,12 +198,15 @@ class TopKSpMV:
 
     @classmethod
     def load(cls, path: str, device: Optional[jax.Device] = None):
-        """Reconstruct an engine saved with save(). scores() is
-        unavailable on a loaded engine (it needs the per-bucket layout)."""
+        """Reconstruct an engine saved with save() (incl. partitioned
+        engines). query()/query_batch()/scores() all work on the loaded
+        engine; exact rescoring needs the source matrix (see the warning
+        below)."""
         import json
 
         from .config import TopKSpMVConfig, ValueFormat
-        from .formats.sell_buckets import FusedBucket, FusedSellMatrix
+        from .formats.sell_buckets import (FusedBucket, FusedSellMatrix,
+                                           PartitionedFusedMatrix)
 
         z = np.load(path)
         meta = json.loads(bytes(z["meta"]).decode())
@@ -226,13 +230,25 @@ class TopKSpMV:
                         blocks_per_slice=int(r[2]), slice_base=int(r[3]),
                         blk_start=int(r[4]), num_blocks=int(r[5]))
             for r in z["plan"])
-        fused = FusedSellMatrix(
-            words=z["words"], plan=plan, nreal=z["nreal"],
-            block_sublanes=meta["block_sublanes"],
-            num_blocks=meta["num_blocks"], row_ids=z["row_ids"],
-            num_rows=meta["num_rows"], num_cols=meta["num_cols"],
-            num_nnz=meta["num_nnz"],
-            value_scale=meta.get("value_scale", 1.0))
+        if meta.get("num_partitions", 1) > 1:
+            fused = PartitionedFusedMatrix(
+                words=z["words"], plan=plan, nreal=z["nreal"],
+                row_ids=z["row_ids"],
+                num_partitions=meta["num_partitions"],
+                part_slices=meta["part_slices"],
+                block_sublanes=meta["block_sublanes"],
+                num_blocks=meta["num_blocks"],
+                num_rows=meta["num_rows"], num_cols=meta["num_cols"],
+                num_nnz=meta["num_nnz"],
+                value_scale=meta.get("value_scale", 1.0))
+        else:
+            fused = FusedSellMatrix(
+                words=z["words"], plan=plan, nreal=z["nreal"],
+                block_sublanes=meta["block_sublanes"],
+                num_blocks=meta["num_blocks"], row_ids=z["row_ids"],
+                num_rows=meta["num_rows"], num_cols=meta["num_cols"],
+                num_nnz=meta["num_nnz"],
+                value_scale=meta.get("value_scale", 1.0))
 
         self = cls.__new__(cls)
         self.config = config
@@ -421,7 +437,22 @@ class TopKSpMV:
             self._jit_batch_k = k
 
         Qtot = len(queries)
-        idx_all, val_all = [], []
+        idx_all, val_all, futs = [], [], []
+        pending = None  # previous group's device candidates (rescore mode)
+
+        def _submit(idx_dev, q0, n):
+            # Forcing the PREVIOUS group's candidates here overlaps its
+            # host rescore with the current group's device sweep (the
+            # reference overlaps readback the same way,
+            # host_spmv_bscsr.cpp:354-397); the thread pool then re-ranks
+            # the group's queries concurrently (native csr_rescore is
+            # stateless and releases the GIL).
+            arr = np.asarray(idx_dev)
+            ex = self._rescore_executor()
+            for j in range(n):
+                futs.append(ex.submit(
+                    self._rescore, arr[j], queries[q0 + j], user_k))
+
         for start in range(0, Qtot, group_size):
             chunk = queries[start:start + group_size]
             n_real = len(chunk)
@@ -437,47 +468,73 @@ class TopKSpMV:
             tv, tt = self.batch_candidates_traceable(
                 jax.device_put(jnp.asarray(tabs), self.device))
             idx, vals = self._jit_batch_finalize(tv, tt, self._row_ids)
+            if rescore_pool:
+                if pending is not None:
+                    _submit(*pending)
+                pending = (idx, start, n_real)
+                continue
             vals = vals * (jnp.asarray(scales, jnp.float32)[:, None]
                            * self._value_scale)
             idx_all.append(idx[:n_real])
             val_all.append(vals[:n_real])
-        idx, vals = jnp.concatenate(idx_all), jnp.concatenate(val_all)
         if rescore_pool:
-            outs = [self._rescore(np.asarray(idx[q]), queries[q], user_k)
-                    for q in range(len(queries))]
+            if pending is not None:
+                _submit(*pending)
+            outs = [f.result() for f in futs]
             return (jnp.stack([jnp.asarray(o[0]) for o in outs]),
                     jnp.stack([jnp.asarray(o[1]) for o in outs]))
-        return idx, vals
+        return jnp.concatenate(idx_all), jnp.concatenate(val_all)
+
+    def _rescore_executor(self):
+        return rescore_executor(self)
 
     def scores(self, vec) -> np.ndarray:
         """Full dense result A @ vec in original row order (no Top-K).
 
         The plain-SpMV path, parity with the reference's SpMV-only hosts
-        (host_spmv_csr_gpu.cu). Materializes N floats — prefer query()
-        for similarity lookup."""
+        (host_spmv_csr_gpu.cu:171-231). Runs the fused scores kernel over
+        the same stream the Top-K sweep uses, so it works for every
+        bucketed configuration — any width_quantum, partitioned engines,
+        and load()ed snapshots. Exact for the f32 and h16 codecs (h16
+        matrix values are 6-bit quantized, like the sweep); quantized
+        QUERY codecs (i8s/i4s/int8x4) return codec-precision scores.
+        Materializes N floats — prefer query() for similarity lookup."""
         if self.config.layout != "bucketed":
             raise NotImplementedError("scores() requires the bucketed layout")
-        if self.config.width_quantum != 8:
-            raise NotImplementedError(
-                "scores() requires width_quantum=8 (the per-bucket scores "
-                "kernel folds whole 8-sublane chunks)")
-        from .ops.kernel import spmv_bucket_scores_device
+        from .ops.kernel import spmv_fused_scores_device
 
-        _ = self._bwords  # materialize outside any trace
+        P = self.config.num_partitions
         table, scale = self._table(vec)
-        out = np.empty(self.num_rows, np.float32)
-        row_ids = self.sell.row_ids
-        for bw, b in zip(self._bwords, self.sell.buckets):
-            s = np.asarray(spmv_bucket_scores_device(
-                bw, table, cfg=self.config, interpret=self._interpret,
-                codec=self.config.query_codec, width=b.width,
-                slices_per_block=b.slices_per_block,
-                num_blocks=b.num_blocks,
-            ))[: b.num_slices]
-            ids = row_ids[b.slice_base:b.slice_base + b.num_slices]
-            real = ids >= 0
-            out[ids[real]] = s[real] * (scale * self._value_scale)
-        return out
+        out = np.asarray(spmv_fused_scores_device(
+            self._fwords, table, cfg=self.config, plan=self.fused.plan,
+            block_sublanes=self.fused.block_sublanes,
+            num_blocks=self.fused.num_blocks, num_partitions=P,
+            interpret=self._interpret, codec=self.config.query_codec,
+        ))                                  # (P, num_blocks, max_spb, 128)
+        res = np.zeros(self.num_rows, np.float32)
+        row_ids = self.fused.row_ids
+        nreal = self.fused.nreal            # (B, 1) or (P, B, 1)
+        total = scale * self._value_scale
+        part_rows = row_ids.shape[0] // P   # part_slices (incl. sentinel)
+        for p in range(P):
+            nr = nreal[p, :, 0] if P > 1 else nreal[:, 0]
+            r0 = p * part_rows
+            for bi, pb in enumerate(self.fused.plan):
+                nsl = int(nr[bi])
+                if nsl == 0:
+                    continue
+                b0, nb = pb.blk_start, pb.num_blocks
+                if pb.blocks_per_slice == 1:
+                    sc = out[p, b0:b0 + nb, :pb.slices_per_block].reshape(
+                        -1, LANES)[:nsl]
+                else:  # wide slices: score lands at the span's last block
+                    bps = pb.blocks_per_slice
+                    sc = out[p, b0 + bps - 1:b0 + nb:bps, 0][:nsl]
+                ids = row_ids[r0 + pb.slice_base:
+                              r0 + pb.slice_base + nsl]
+                real = ids >= 0
+                res[ids[real]] = sc[real] * total
+        return res
 
     # -- accounting ---------------------------------------------------------
 
@@ -491,3 +548,18 @@ class TopKSpMV:
     @property
     def bytes_per_nnz(self) -> float:
         return self.hbm_bytes / max(self.num_nnz, 1)
+
+
+def rescore_executor(holder):
+    """Lazily-created thread pool for batched host rescoring, cached on
+    `holder` (an engine instance; shared with the sharded engine)."""
+    ex = getattr(holder, "_rescore_ex", None)
+    if ex is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(
+            max_workers=min(16, os.cpu_count() or 8),
+            thread_name_prefix="rescore")
+        holder._rescore_ex = ex
+    return ex

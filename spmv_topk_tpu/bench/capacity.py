@@ -32,9 +32,13 @@ from typing import Optional
 # Measured on the tunneled v5e (one TensorCore) by bench.py's interleaved
 # slope protocol; see RESULTS.md c2/c3/c9 and ROOFLINE.md. Rates are per
 # CORE: the fused kernel is VPU-bound (ROOFLINE.md §2), so a megacore chip
-# (v4/v5p, 2 TensorCores) runs 2 partitions on the parallel grid axis
-# (config.num_partitions, kernel.py::topk_spmv_fused_part_device) at ~2x —
-# an ASSUMPTION for v4/v5p marked in the output, not a measurement.
+# (v4/v5p, 2 TensorCores) runs 2 partitions on the parallel grid axis.
+# As of round 4 this is an EXECUTABLE path end to end — the sharded engine
+# composes num_partitions>1 with shard_map (parallel/sharded_buckets.py::
+# _local_sweep; correctness: tests/test_sharded_buckets.py::
+# test_sharded_megacore_partitions_match_exact) — but the 2x per-chip rate
+# remains an ASSUMPTION for v4/v5p (no megacore hardware in this lab; the
+# v5e chip has one TensorCore), marked in the output.
 
 MEASURED = {
     # per-core Gnnz/s (mid of the reproducible range) and words/nnz incl.
@@ -142,8 +146,9 @@ def plan(
         f"tenancy, RESULTS.md); "
         + ("MEASURED chip" if chip["name"] == "v5e" else
            f"{chip['name']} chips ASSUME per-core parity (VPU-bound "
-           "kernel; both query() and query_batch() run partitioned "
-           "kernels with num_partitions=2 on megacore chips)"),
+           "kernel; the sharded engine runs the partitioned kernels with "
+           "num_partitions=2 on megacore chips — a real, tested path "
+           "since round 4 — but its 2x rate is unmeasured on v4/v5p)"),
     ]
 
     # Batch rate: interpolate measured group points (per-query Gnnz/s/core).

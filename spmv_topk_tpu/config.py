@@ -94,10 +94,11 @@ class TopKSpMVConfig:
     sigma_sort: bool = True
     layout: str = "bucketed"        # "bucketed" (static-W, fast) | "streamed"
     fused_block_sublanes: int = 1024  # uniform DMA block of the fused kernel
-    width_quantum: int = 8          # 8, 4, or 2: slice-width granularity
-    #   (quantum 4 halves width-quantization padding; two adjacent slices
-    #    share a boundary chunk, folded with static sublane splits — fused
-    #    kernels only: scores() requires quantum 8)
+    width_quantum: int = 8          # 8, 4, 2 or 1: slice-width granularity
+    #   (finer quanta cut width-quantization padding; slices of a
+    #    gcd(W,8)-period share boundary chunks, folded with static sublane
+    #    splits. quantum 1 admits odd widths — lowest padding, ~2x the
+    #    compiled bucket branches)
     query_codec: str = "f32"        # "f32" (exact) | "i8s"/"i4s"/"int8x4"
     #   | "h16" (2 nnz per word: 10-bit col + 6-bit value halves, i4s
     #   query table — halves HBM bytes/nnz; pair with rescore_pool)
@@ -159,8 +160,8 @@ class TopKSpMVConfig:
                              "(10-bit column field)")
         if self.query_codec not in ("f32", "int8x4", "i8s", "i4s", "h16"):
             raise ValueError(f"unknown query codec {self.query_codec!r}")
-        if self.width_quantum not in (2, 4, 8):
-            raise ValueError("width_quantum must be 2, 4 or 8")
+        if self.width_quantum not in (1, 2, 4, 8):
+            raise ValueError("width_quantum must be 1, 2, 4 or 8")
         if self.fold_tile not in (1, 2, 4, 8):
             raise ValueError("fold_tile must be 1, 2, 4 or 8")
         if self.batch_subgroup < 0:

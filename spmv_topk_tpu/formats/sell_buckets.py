@@ -52,9 +52,20 @@ W_LADDER_Q4 = sorted(set(list(range(4, 129, 4)) + W_LADDER))
 W_LADDER_Q2 = sorted(set(
     list(range(2, 33, 2)) + list(range(32, 65, 4)) + W_LADDER_Q4))
 
+# Quantum-1 ladder: EVERY width below 32 (odd widths fold with Ps=8-slice
+# periods), even to 64, multiples of 4 to 128, of 8 beyond. On the 10M-row
+# gamma deg-20 h16 corpus this removes most of the remaining width-
+# quantization waste: 0.551 -> 0.528 words/nnz at 1024-sublane blocks
+# (simulated from the degree profile; the 0.513 floor is odd-degree rows'
+# half-empty last word). Costs ~2x the bucket count (compiled branches).
+W_LADDER_Q1 = sorted(set(
+    list(range(1, 33)) + list(range(32, 65, 2)) + list(range(64, 129, 4))
+    + W_LADDER_Q2))
+
 
 def _quantize_w(w: int, quantum: int = 8) -> int:
-    ladder = (W_LADDER_Q2 if quantum == 2
+    ladder = (W_LADDER_Q1 if quantum == 1
+              else W_LADDER_Q2 if quantum == 2
               else W_LADDER_Q4 if quantum == 4 else W_LADDER)
     for q in ladder:
         if w <= q:

@@ -550,7 +550,9 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
             # multiply-add. Engages only on fully-unrolled slice loops;
             # fori fallbacks fold per slice.
             tile = cfg.fold_tile
-            cnt = [0, 0, 0, 0]           # open rows per sub-tile (Ps <= 4)
+            # open rows per sub-tile: one sub-tile per slice of a period
+            # (Ps = 8/gcd(W,8) <= 8; quantum-1 odd widths use all 8)
+            cnt = [0] * (S // math.gcd(W, S) if W % S else 1)
 
             def score_pen(score, t):
                 # Branch-free padding mask: t and the bucket's real count
@@ -783,7 +785,9 @@ def topk_spmv_fused_device(
             pltpu.VMEM((K, LANES), jnp.float32),
             pltpu.VMEM((K, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.float32),
-            pltpu.VMEM((32, LANES), jnp.float32),
+            # tilebuf: fold_tile (<=8) scores per sub-tile x Ps (<=8)
+            # sub-tiles per period (quantum-1 odd widths use all 64)
+            pltpu.VMEM((64, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(nreal, table, words)
@@ -845,7 +849,9 @@ def topk_spmv_fused_part_device(
             pltpu.VMEM((K, LANES), jnp.float32),
             pltpu.VMEM((K, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.float32),
-            pltpu.VMEM((32, LANES), jnp.float32),
+            # tilebuf: fold_tile (<=8) scores per sub-tile x Ps (<=8)
+            # sub-tiles per period (quantum-1 odd widths use all 64)
+            pltpu.VMEM((64, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -1176,6 +1182,205 @@ def topk_spmv_fused_batch_part_device(
         ),
         interpret=interpret,
     )(nreal, tables.reshape(Q * TR, LANES), words)
+
+
+def _fused_scores_kernel(tab_ref, words_ref, out_ref, carry, *,
+                         cfg: TopKSpMVConfig, plan: tuple,
+                         block_sublanes: int, max_spb: int, codec: str,
+                         mask_lanes: bool = True, part: bool = False):
+    """Plain SpMV over the FUSED stream: per-slice dense scores, no Top-K.
+
+    The production-config scores path (parity with the reference's
+    SpMV-only hosts, host_spmv_csr_gpu.cu:171-231): same bucket plan,
+    period folds, and wide-slice carry as _fused_kernel, but every slice
+    score is written to the output block instead of entering the Top-K
+    buffers — so it works for any width_quantum, partitioned engines
+    (leading parallel grid axis), and load()ed snapshots (needs only the
+    fused stream). Output block row j holds slice slice_base + blk*spb + j;
+    rows past a bucket's slices_per_block (and block-padding slices) are
+    left unwritten/garbage — the host scatter reads only real slices.
+    """
+    i = pl.program_id(1 if part else 0)
+    S = cfg.chunk_sublanes
+
+    @pl.when(i == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    shape = (S, LANES)
+    bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
+           for c in range(tab_ref.shape[0])]
+    prod = _codec_prod(codec)
+
+    if part:  # out_ref block is (1, 1, max_spb, L) / (1, max_spb, L)
+        def write(j, score):
+            out_ref[0, 0, pl.ds(j, 1), :] = score
+    else:
+        def write(j, score):
+            out_ref[0, pl.ds(j, 1), :] = score
+
+    for bi, pb in enumerate(plan):
+        W = pb.width
+        spb = pb.slices_per_block
+        bps = pb.blocks_per_slice
+
+        @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
+        def _(bi=bi, pb=pb, W=W, spb=spb, bps=bps):
+            def prod_at(sub):
+                w = words_ref[pl.ds(sub, S), :]
+                return prod(bcs, w, S, mask_lanes)
+
+            def sum_span(sub0, n_chunks, extra=None):
+                if n_chunks == 0:
+                    return extra if extra is not None \
+                        else jnp.zeros((1, LANES), _acc_dtype(codec))
+                n_acc = 2 if n_chunks >= 2 else 1
+                accs = [jnp.zeros((S, LANES), _acc_dtype(codec))
+                        for _ in range(n_acc)]
+                for u in range(n_chunks):
+                    accs[u % n_acc] = accs[u % n_acc] + prod_at(sub0 + u * S)
+                acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
+                s = jnp.sum(acc, axis=0, keepdims=True)
+                return s if extra is None else s + extra
+
+            if bps == 1 and W % S == 0:
+                def do_slice(j):
+                    write(j, _to_f32(sum_span(j * W, W // S)))
+
+                if spb * max(W // S, 1) <= 128:
+                    for j in range(spb):
+                        do_slice(j)
+                else:
+                    jax.lax.fori_loop(
+                        0, spb, lambda j, c: (do_slice(j), c)[1], 0)
+            elif bps == 1:
+                # period fold for non-chunk-multiple widths (see
+                # _fused_kernel): boundary chunks decoded once per period
+                g = math.gcd(W, S)
+                Ps = S // g
+                Pc = Ps * W // S
+
+                def slice_sum(chunk_at, base, lo, hi):
+                    u_lo, r_lo = divmod(lo, S)
+                    u_end, r_end = divmod(hi, S)
+                    if u_lo == u_end:
+                        return jnp.sum(chunk_at(u_lo)[r_lo:r_end],
+                                       axis=0, keepdims=True)
+                    extra = None
+                    u_start = u_lo
+                    if r_lo:
+                        extra = jnp.sum(chunk_at(u_lo)[r_lo:], axis=0,
+                                        keepdims=True)
+                        u_start += 1
+                    if r_end:
+                        part_ = jnp.sum(chunk_at(u_end)[:r_end], axis=0,
+                                        keepdims=True)
+                        extra = part_ if extra is None else extra + part_
+                    return sum_span(base + u_start * S,
+                                    u_end - u_start, extra)
+
+                def do_period(p):
+                    base = p * Ps * W
+                    cache = {}
+
+                    def chunk_at(u):
+                        if u not in cache:
+                            cache[u] = prod_at(base + u * S)
+                        return cache[u]
+
+                    for m in range(Ps):
+                        write(p * Ps + m,
+                              _to_f32(slice_sum(chunk_at, base,
+                                                m * W, (m + 1) * W)))
+
+                nper = spb // Ps
+                if nper * Pc <= 128:
+                    for p in range(nper):
+                        do_period(p)
+                else:
+                    jax.lax.fori_loop(
+                        0, nper, lambda p, c: (do_period(p), c)[1], 0)
+                for j in range(nper * Ps, spb):
+                    s = slice_sum(lambda u: prod_at(u * S), 0,
+                                  j * W, (j + 1) * W)
+                    write(j, _to_f32(s))
+            else:
+                # wide slice: carry the partial sum across bps blocks
+                psum = _to_f32(sum_span(0, block_sublanes // S))
+                off = i - pb.blk_start
+                last = (off % bps) == (bps - 1)
+
+                @pl.when(~last)
+                def _():
+                    carry[:] = carry[:] + psum
+
+                @pl.when(last)
+                def _():
+                    write(0, carry[:] + psum)
+                    carry[:] = jnp.zeros_like(carry)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "num_partitions", "interpret", "codec"),
+)
+def spmv_fused_scores_device(
+    words, table, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int, num_partitions: int = 1,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Dense per-slice scores over the fused stream.
+
+    Returns (P, num_blocks, max_spb, 128) f32 — P = num_partitions (1 for
+    plain engines): block b's row j holds the score of the j-th slice of
+    that block under its bucket's geometry; only the first
+    slices_per_block rows of each block (and only real slices) are
+    meaningful — see TopKSpMV.scores() for the host scatter."""
+    max_spb = max(pb.slices_per_block for pb in plan)
+    P = num_partitions
+    part = P > 1
+    kernel = functools.partial(
+        _fused_scores_kernel, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, max_spb=max_spb, codec=codec,
+        mask_lanes=interpret, part=part,
+    )
+    grid = (P, num_blocks) if part else (num_blocks,)
+    if part:
+        in_specs = [
+            pl.BlockSpec((table.shape[0], LANES), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES),
+                         lambda p, i, nb=num_blocks: (p * nb + i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec((1, 1, max_spb, LANES),
+                                 lambda p, i: (p, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        in_specs = [
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec((1, max_spb, LANES), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct(
+            ((P, num_blocks, max_spb, LANES) if part
+             else (num_blocks, max_spb, LANES)), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")) if part
+            else None),
+        interpret=interpret,
+    )(table, words)
+    return out if part else out[None]
 
 
 def _bucket_scores_kernel(tab_ref, words_ref, out_ref, *,

@@ -1,5 +1,12 @@
 """Row-sharded multi-device Top-K SpMV (shard_map over a device mesh).
 
+DEPRECATED engine: this module drives the *streamed* SELL layout, which
+measured ~2.5x slower than the bucketed layout on v5e — production
+sharding lives in parallel/sharded_buckets.py (ShardedBucketedTopKSpMV).
+It survives as the layout-independent reference implementation of the
+shard/merge protocol (and as a test fixture); `make_mesh`/`AXIS` defined
+here are shared by both engines.
+
 TPU-native replacement of the reference's device-level parallel layout
 (P1/P2 in SURVEY.md §2.3): 32 row partitions x 32 HBM pseudo-channels on
 one FPGA (host_spmv_bscsr.cpp:136-150, Makefile:66-97) become row shards

@@ -26,11 +26,12 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed():
+def test_two_process_distributed(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
+    env["SPMV_SNAP_DIR"] = str(tmp_path)  # save/load leg in the worker
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(i), "2", str(port)],
@@ -50,3 +51,4 @@ def test_two_process_distributed():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     assert all("RESULT" in o for o in outs), outs
+    assert all("SNAPSHOT ok" in o for o in outs), outs

@@ -81,3 +81,89 @@ def test_sharded_rescore_i4s():
     for qi in range(3):
         g2, _ = topk_exact(coo, Q[qi], 40)
         assert _precision(g2, bi[qi]) >= 0.97
+
+
+def test_sharded_megacore_partitions_match_exact():
+    """Megacore composed with sharding (VERDICT r3 #2): every device
+    sweeps config.num_partitions partition streams on the parallel grid
+    axis (the CU hierarchy, types.hpp:36-38) under shard_map."""
+    mesh = make_mesh(jax.devices()[:8])
+    coo = create_sparse_matrix(4100, 256, 10, "gamma", seed=80)
+    cfg = TopKSpMVConfig(k=40, max_cols=256, num_partitions=2,
+                         fused_block_sublanes=64)
+    eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    q = create_sample_vector(256, seed=81)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(coo, q, 40)
+    assert _precision(gi, ki) == 1.0
+    np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=2e-3)
+
+
+def test_sharded_megacore_batch_and_single_device_agree():
+    from spmv_topk_tpu.api import TopKSpMV
+
+    mesh = make_mesh(jax.devices()[:4])
+    coo = create_sparse_matrix(2600, 256, 9, "uniform", seed=82)
+    cfg = TopKSpMVConfig(k=25, max_cols=256, num_partitions=2,
+                         fused_block_sublanes=64)
+    sharded = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    single = TopKSpMV(coo, TopKSpMVConfig(k=25, max_cols=256,
+                                          fused_block_sublanes=64))
+    qs = np.stack([create_sample_vector(256, seed=83 + i) for i in range(5)])
+    bi, bv = map(np.asarray, sharded.query_batch(qs, group_size=3))
+    for i in range(5):
+        di, dv = map(np.asarray, single.query(qs[i]))
+        assert _precision(di, bi[i]) == 1.0
+        np.testing.assert_allclose(np.sort(bv[i]), np.sort(dv), atol=1e-5)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 2])
+def test_sharded_save_load_roundtrip(tmp_path, num_partitions):
+    """Per-shard snapshot (VERDICT r3 #3): save writes one file per device
+    position + meta; load reconstructs bit-identical serving, including
+    the partitioned composition and the rescore CSR via matrix=."""
+    mesh = make_mesh(jax.devices()[:4])
+    coo = create_sparse_matrix(2300, 256, 11, "gamma", seed=84)
+    cfg = TopKSpMVConfig(k=20, max_cols=256, query_codec="h16",
+                         width_quantum=2, fused_block_sublanes=64,
+                         num_partitions=num_partitions, rescore_pool=80)
+    eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
+    q = create_sample_vector(256, seed=85)
+    i1, v1 = map(np.asarray, eng.query(q))
+
+    path = str(tmp_path / "sharded_eng")
+    eng.save(path)
+    import os
+
+    files = sorted(os.listdir(tmp_path))
+    assert f"sharded_eng.meta.npz" in files
+    assert sum(f.startswith("sharded_eng.shard") for f in files) == 4
+
+    # full production load: matrix= restores exact rescoring
+    eng2 = ShardedBucketedTopKSpMV.load(path, mesh=mesh, matrix=coo)
+    i2, v2 = map(np.asarray, eng2.query(q))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+    # degraded load (no matrix): un-rescored but serving
+    with pytest.warns(UserWarning, match="rescore_pool"):
+        eng3 = ShardedBucketedTopKSpMV.load(path, mesh=mesh)
+    i3, _ = map(np.asarray, eng3.query(q))
+    gi, _ = topk_exact(coo, q, 20)
+    assert _precision(gi, i3) >= 0.8  # raw h16 ranking, no rescore
+
+
+def test_sharded_skeleton_exchange_single_process():
+    """exchange_skeleton=True runs the multi-host skeleton/scale/size
+    exchange code path on one process (used by dryrun_multichip)."""
+    mesh = make_mesh(jax.devices()[:4])
+    coo = create_sparse_matrix(2000, 256, 10, "gamma", seed=86)
+    cfg = TopKSpMVConfig(k=30, max_cols=256, query_codec="h16",
+                         width_quantum=2, fused_block_sublanes=64,
+                         rescore_pool=120)
+    eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh,
+                                  exchange_skeleton=True)
+    q = create_sample_vector(256, seed=87)
+    ki, _ = map(np.asarray, eng.query(q))
+    gi, _ = topk_exact(coo, q, 30)
+    assert _precision(gi, ki) >= 0.97
