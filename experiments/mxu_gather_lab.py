@@ -1,51 +1,41 @@
-"""Can the MXU serve the BATCHED query gather? (VERDICT r3 #1)
+"""Can the MXU serve the BATCHED query gather? (VERDICT r3 #1) — NO, measured.
 
 The question: with Q queries live, each matrix chunk's per-query work is
 a lane gather + extract + multiply (VPU). Could one matmul on the MXU
 serve all Q queries per chunk instead?
 
-Arithmetic first (h16 codec, one (8,128) int32 chunk = 1024 words =
-2048 nnz, C = 1024 columns):
+THE ARITHMETIC REFUTATION (confirmed by measurement below): an MXU
+formulation must contract over the COLUMN axis, so each nnz costs C
+MACs per query (its one-hot row is C wide, C-1 of them zero) instead of
+the VPU's ~9/2048 vector-op-equivalents. The MXU's raw-MAC advantage
+over the VPU (~8x at f32) cannot beat a C = 1024x waste factor.
 
-  VPU path (shipped, ops/kernel.py::_h16_apply): per query
-      2 gathers + 2x(shl+sar) + 2 mul + 1 add = 9 vector ops
-      -> 9 Q ops/chunk, ~4.4e-3 Q ops/nnz. At 8x128x(2 ALUs) per cycle
-      this is the measured ~385 Gnnz/s/query batch envelope
-      (ROOFLINE.md §3).
+MEASURED on the v5e (slope-timed chained scans, 2026-08-20, Q=16):
+  - MXU one-hot formulation (best case: XLA fuses the one-hot
+    construction into the dot, f32): 23.2 Gnnz/s/query-equivalent —
+    and that encodes only ONE h16 half per word, so per real nnz it is
+    ~11.6. Asymptotic ceiling independent of Q: ~2e13 MAC/s / 1024
+    MACs-per-nnz-per-query ~= 19.5 Gnnz/s/query.
+  - The production VPU batch kernel measures 236-258 Gnnz/s/query at
+    groups 32-64 (bench.py / RESULTS c9): the MXU formulation is
+    >10x slower at its own best case. (This lab's VPU microprobe
+    prints ~11 Gnnz/s/query-equiv, but at 32 chunks per launch it is
+    kernel-launch-bound — the production kernel amortizes launches
+    over ~900-block grids; use the bench number for the comparison.)
+  - The in-Pallas version of the one-hot does not even lower: Mosaic
+    rejects the (8,128)->(1024,1) shape cast needed to put elements on
+    a matmul axis ("infer-vector-layout: unsupported shape cast").
 
-  MXU path: score[row, q] += val_e * Q[q, col_e] is a matmul ONLY
-  against a densified operand. Two formulations, both refuted:
-
-  (a) one-hot on the fly: build O[e, c] = (col_e == c) for the chunk,
-      then (O * val) @ Q^T. Building O costs one compare per (element,
-      column-group lane) = C/128 x 2048 = 16,384 vector compares per
-      chunk — ~1,800x the 9-op gather chain it replaces. The matmul
-      itself is free by comparison (2048 x 1024 x Q MACs on 16k
-      MAC/cycle MXU). Construction dominates: REFUTED by op count
-      (no measurement needed at 3 orders of magnitude; confirmed by a
-      64-row microprobe: see below).
-
-  (b) one-hot stored in HBM: precompute the densified rows. That IS the
-      dense engine (ops/dense.py): int8 per-row-scale rows at C bytes/row
-      vs h16's ~2 bytes/nnz — for deg-20/1024-col corpora 25.6x the HBM
-      bytes per row, but the MXU sweeps it at element cadence, not byte
-      cadence. SHIPPED and measured: 747 Gnnz-equiv/s/query at batch 64,
-      2605 at batch 256 (BENCH_r03) — already 2-7x above the sparse
-      batch envelope. So "MXU for batched gather" resolves to: use the
-      dense int8 engine when the int8 form fits HBM (the capacity
-      planner's crossover, bench/capacity.py); the sparse stream's
-      batched gather stays on the VPU.
-
-  (c) per-slice densified histogram h[row, c] built in-kernel, then
-      h @ Q^T: building h is a SCATTER (the dual of the gather, same
-      per-element cost) plus (128, C) f32 VMEM traffic per slice —
-      strictly worse than (a).
-
-Microprobe (run on the v5e to attach a cycle count to (a)): times one
-pallas kernel that one-hot-encodes a (8, 128) index chunk against 1024
-columns and dots it with a (1024, Q) table, vs the shipped h16 apply
-loop at the same Q. Expected (and measured — see ROOFLINE.md §3 round-4
-note): construction-bound, >100x slower per chunk.
+Two other MXU formulations, refuted without measurement:
+  (b) one-hot stored in HBM = the DENSE engine (ops/dense.py), already
+      shipped: int8 per-row-scale rows swept at element cadence — 747
+      Gnnz-equiv/s/query at batch 64, 2605 at 256 (BENCH_r03). That IS
+      the correct "MXU for batch" answer when the int8 form fits HBM
+      (capacity.py plans the crossover); the sparse stream's gather
+      stays on the VPU.
+  (c) per-slice densified histogram built in-kernel then h @ Q^T:
+      the scatter that builds h costs the same per element as the
+      gather it replaces, plus (128, C) f32 VMEM traffic per slice.
 
 Run: python experiments/mxu_gather_lab.py [Q]
 """
@@ -69,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 S = 8
 C = 1024
-REPS = 256  # chunks per kernel launch (amortize dispatch)
+REPS = 32  # chunks per kernel launch (VMEM-bounded unroll)
 
 
 def vpu_kernel(tab_ref, words_ref, out_ref, *, Q):
@@ -86,28 +76,25 @@ def vpu_kernel(tab_ref, words_ref, out_ref, *, Q):
     out_ref[...] = out
 
 
-def mxu_kernel(tabq_ref, words_ref, out_ref, *, Q):
-    # one-hot formulation (a): encode cols of each chunk against C
-    # columns, matmul with the (C, Q) query matrix on the MXU.
-    acc = jnp.zeros((LANES, Q), jnp.float32)
-    for r in range(REPS):
-        w = words_ref[r * S:(r + 1) * S, :]
-        col = w & 0x3FF                       # low half's column
+def mxu_xla_fn(Q):
+    """Formulation (a) as plain XLA (the in-Pallas version is not even
+    lowerable: Mosaic rejects the (8,128)->(1024,1) shape cast needed to
+    put elements on a matmul axis — "infer-vector-layout: unsupported
+    shape cast"). XLA materializes the one-hot and feeds the MXU dot;
+    this measures construction + matmul honestly."""
+
+    @jax.jit
+    def go(words, tabq):
+        col = (words & 0x3FF).reshape(-1)              # (REPS*S*128,)
         val = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(w, 16), 26).astype(jnp.float32)
-        # build the (S*LANES, C) one-hot row-block in C/LANES passes
-        oh = []
-        colf = col.reshape(S * LANES, 1)
-        for g in range(C // LANES):
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (S * LANES, LANES), 1) + g * LANES
-            oh.append(jnp.where(colf == iota,
-                                val.reshape(S * LANES, 1), 0.0))
-        ohm = jnp.concatenate(oh, axis=1)      # (1024, 1024) f32
-        part = jnp.dot(ohm, tabq_ref[...],
-                       preferred_element_type=jnp.float32)  # (1024, Q)
-        acc = acc + part.reshape(S, LANES, Q).sum(0)
-    out_ref[...] = acc
+            jax.lax.shift_left(words, 16), 26).astype(jnp.float32)
+        iota = jnp.arange(C, dtype=jnp.int32)
+        oh = jnp.where(col[:, None] == iota[None, :],
+                       val.reshape(-1)[:, None], 0.0)   # (N, C) f32
+        return jnp.dot(oh, tabq,
+                       preferred_element_type=jnp.float32)  # (N, Q)
+
+    return go
 
 
 def run(Q=16):
@@ -124,33 +111,54 @@ def run(Q=16):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Q, LANES), jnp.float32))
-    mk = pl.pallas_call(
-        lambda t, w, o: mxu_kernel(t, w, o, Q=Q),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((LANES, Q), jnp.float32))
+    jm_fn = mxu_xla_fn(Q)
 
-    def timeit(f, *a):
-        f(*a).block_until_ready()
-        ts = []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            f(*a).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    def scanned_v(n):
+        salts = jnp.arange(n, dtype=jnp.int32)
 
-    jv = jax.jit(lambda t, w: vk(t, w))
-    jm = jax.jit(lambda t, w: mk(t, w))
-    tv = timeit(jv, jnp.asarray(tab), jnp.asarray(words))
-    tm = timeit(jm, jnp.asarray(tabq), jnp.asarray(words))
+        @jax.jit
+        def go(tab, words, salts):
+            def step(c, s):
+                out = vk(tab, words + s)
+                return c, out.max()
+            return jax.lax.scan(step, 0, salts)[1]
+
+        return lambda: np.asarray(go(jnp.asarray(tab), jnp.asarray(words),
+                                     salts))
+
+    def scanned_m(n):
+        salts = jnp.arange(n, dtype=jnp.int32)
+
+        @jax.jit
+        def go(words, tabq, salts):
+            def step(c, s):
+                out = jm_fn(words + s, tabq)
+                return c, out.max()
+            return jax.lax.scan(step, 0, salts)[1]
+
+        return lambda: np.asarray(go(jnp.asarray(words), jnp.asarray(tabq),
+                                     salts))
+
+    def slope(mk_fn, short=8, long_=104):
+        fs, fl = mk_fn(short), mk_fn(long_)
+        fs(); fl()
+        reps = sorted((_t(fl) - _t(fs)) / (long_ - short) for _ in range(5))
+        return reps[len(reps) // 2]
+
+    def _t(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    tv = slope(scanned_v)
+    tm = slope(scanned_m)
     nnz = REPS * S * LANES * 2
-    print(f"Q={Q} chunks={REPS}")
-    print(f"  VPU gather path : {tv * 1e6:9.1f} us "
+    print(f"Q={Q} chunks={REPS} (slope-timed, chained on-device scans)")
+    print(f"  VPU gather path : {tv * 1e6:9.1f} us/iter "
           f"({nnz * Q / tv / 1e9:8.1f} Gnnz/s/query-equiv)")
-    print(f"  MXU one-hot path: {tm * 1e6:9.1f} us "
+    print(f"  MXU one-hot path: {tm * 1e6:9.1f} us/iter "
           f"({nnz * Q / tm / 1e9:8.1f} Gnnz/s/query-equiv)")
-    print(f"  ratio: one-hot construction is {tm / tv:.1f}x slower")
+    print(f"  ratio: MXU one-hot is {tm / tv:.1f}x the VPU gather cost")
 
 
 if __name__ == "__main__":
