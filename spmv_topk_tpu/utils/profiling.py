@@ -62,18 +62,29 @@ def timed_slope(run_n, short: int, long_: int, reps: int = 5) -> float:
     return slopes[len(slopes) // 2]
 
 
-def enable_compilation_cache(path: str = ".jax_cache") -> None:
+def enable_compilation_cache(path: "str | None" = None) -> None:
     """Persistent executable cache: kernel compiles through the axon
-    remote-compile tunnel cost tens of seconds each; cached reloads are
-    ~0.5 s. Safe to call multiple times.
+    remote-compile tunnel cost tens to hundreds of seconds each (a
+    trivial 256x256 matmul measured 388 s under tunnel congestion);
+    cached reloads are ~0.5 s. Verified working on the axon PJRT backend
+    (second fresh process: 0.61 s for the same program). Safe to call
+    multiple times. The default path is anchored at the REPO ROOT so
+    every entry point (bench.py, full_eval, labs, serving scripts)
+    shares one cache regardless of cwd.
 
     CPU backends are excluded: XLA:CPU AOT executables are keyed without
     the host's CPU feature set, so an artifact cached on one machine
     SIGILLs/segfaults when loaded on another (observed: an avx512-built
     cache entry crashing the pytest CPU suite on this host). CPU compiles
     are fast; only the remote TPU compiles are worth persisting."""
+    import os
+
     import jax
 
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
     try:
         if str(jax.config.jax_platforms or "").startswith("cpu"):
             return
