@@ -131,7 +131,8 @@ class TopKSpMV:
 
             self.sell = None  # per-bucket layout not kept (scores() n/a)
             self.fused = pack_fused_partitions(
-                matrix, config, config.num_partitions)
+                matrix, config, config.num_partitions,
+                octet=config.fused_layout == "octet")
             self._value_scale = self.fused.value_scale
             self._fwords = jax.device_put(self.fused.words, device)
             self._fnreal = jax.device_put(self.fused.nreal, device)
@@ -139,10 +140,14 @@ class TopKSpMV:
             self._bwords_cache = None
 
         elif config.layout == "bucketed":
-            from .formats.sell_buckets import pack_sell_buckets, fuse_buckets
+            from .formats.sell_buckets import (pack_sell_buckets,
+                                               fuse_buckets,
+                                               fuse_buckets_octet)
 
             self.sell = pack_sell_buckets(matrix, config)
-            self.fused = fuse_buckets(
+            fuse = (fuse_buckets_octet if config.fused_layout == "octet"
+                    else fuse_buckets)
+            self.fused = fuse(
                 self.sell, block_sublanes=config.fused_block_sublanes)
             self._value_scale = self.fused.value_scale
             self._fwords = jax.device_put(self.fused.words, device)
@@ -290,10 +295,14 @@ class TopKSpMV:
     def candidates_traceable(self, table):
         """(topv, topt) from a device-resident (num_groups, 128) table;
         safe to call inside jit/scan (the matrix arrays are captured)."""
+        octet = self.config.fused_layout == "octet"
         if self.config.layout == "bucketed" and self.config.num_partitions > 1:
-            from .ops.kernel import topk_spmv_fused_part_device
+            from .ops.kernel import (topk_spmv_fused_part_device,
+                                     topk_spmv_fused_octet_part_device)
 
-            return topk_spmv_fused_part_device(
+            dev = (topk_spmv_fused_octet_part_device if octet
+                   else topk_spmv_fused_part_device)
+            return dev(
                 self._fwords, table, self._fnreal, cfg=self.config,
                 plan=self.fused.plan,
                 block_sublanes=self.fused.block_sublanes,
@@ -303,9 +312,12 @@ class TopKSpMV:
                 interpret=self._interpret, codec=self.config.query_codec,
             )
         if self.config.layout == "bucketed":
-            from .ops.kernel import topk_spmv_fused_device
+            from .ops.kernel import (topk_spmv_fused_device,
+                                     topk_spmv_fused_octet_device)
 
-            return topk_spmv_fused_device(
+            dev = (topk_spmv_fused_octet_device if octet
+                   else topk_spmv_fused_device)
+            return dev(
                 self._fwords, table, self._fnreal, cfg=self.config,
                 plan=self.fused.plan,
                 block_sublanes=self.fused.block_sublanes,

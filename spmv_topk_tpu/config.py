@@ -118,6 +118,17 @@ class TopKSpMVConfig:
     #   pool the true top-k is almost surely inside the candidate set).
     #   The reference's analog is the host-side merge being the accuracy
     #   backstop for per-partition approximation (topk_errors.py:29-42).
+    fused_layout: str = "slice"     # fused-stream word order:
+    #   "slice" — a slice's W words on W consecutive sublanes (the
+    #     original layout; kernel folds each slice across sublanes and
+    #     splits period-boundary chunks for quantum<8 widths).
+    #   "octet" — slice-TRANSPOSED: chunk j holds word j of EIGHT strided
+    #     slices, one per sublane (formats/sell_buckets.fuse_buckets_octet)
+    #     so the kernel body is pure `acc += decode(chunk)`: no sublane
+    #     reductions, no boundary splits, and ANY width streams whole
+    #     chunks (pair with width_quantum=1 for floor padding). The
+    #     harvest is intrinsically a strided top-2-of-8 fold (fold_tile=8
+    #     semantics); fold_tile=1 selects exact per-member folds.
     fold_tile: int = 1              # slices buffered per Top-K fold in the
     #   fused kernel. 1 = exact per-slice argmin replacement. 2/4/8 buffer
     #   that many consecutive slice scores in VMEM scratch and fold ONE
@@ -164,6 +175,13 @@ class TopKSpMVConfig:
             raise ValueError("width_quantum must be 1, 2, 4 or 8")
         if self.fold_tile not in (1, 2, 4, 8):
             raise ValueError("fold_tile must be 1, 2, 4 or 8")
+        if self.fused_layout not in ("slice", "octet"):
+            raise ValueError("fused_layout must be 'slice' or 'octet'")
+        if self.fused_layout == "octet" and self.fold_tile in (2, 4):
+            raise ValueError(
+                "the octet layout's fold is intrinsically top-2-of-8 "
+                "(fold_tile=8) or exact (fold_tile=1); 2/4 are not "
+                "expressible in the transposed stream")
         if self.batch_subgroup < 0:
             raise ValueError("batch_subgroup must be >= 0")
 

@@ -136,6 +136,29 @@ class FusedBucket:
     num_blocks: int
 
 
+@dataclasses.dataclass(frozen=True)
+class OctetBucket:
+    """Static descriptor of one bucket of the OCTET (slice-transposed)
+    fused stream (config.fused_layout == "octet").
+
+    Member slices of one octet are STRIDED across the bucket (member m of
+    octet o is slice o + m * stride): within a bucket every slice already
+    has the same quantized width, so strided grouping costs zero extra
+    padding while keeping the top-2-of-8 octet fold's accuracy identical
+    to the strided fold_tile=8 semantics of the slice layout (adjacent
+    tile-mates measured 0.88-0.97 precision; strided lose nothing —
+    ops/kernel.py fold notes).
+    """
+
+    width: int               # member slice width (sublanes) = chunks/octet
+    octets_per_block: int    # octets per grid block (1 in wide mode)
+    blocks_per_octet: int    # 1 normally; >1 when chunk_sublanes*width > block
+    stride: int              # slice-id stride between octet members
+    slice_base: int
+    blk_start: int
+    num_blocks: int
+
+
 @dataclasses.dataclass
 class FusedSellMatrix:
     """All buckets re-laid into one uniform-block word stream.
@@ -261,6 +284,110 @@ def fuse_buckets(m: BucketedSellMatrix, block_sublanes: int = 1024,
     )
 
 
+def fuse_buckets_octet(m: BucketedSellMatrix, block_sublanes: int = 1024,
+                       skeleton: "list | None" = None) -> FusedSellMatrix:
+    """Re-lay a bucketed matrix into the slice-TRANSPOSED fused stream.
+
+    Slice layout (fuse_buckets): a slice's W words sit on W consecutive
+    sublanes, so the kernel must reduce each slice across sublanes and
+    split period-boundary chunks when W is not a multiple of the chunk
+    (the quantum-2 tax measured at ~1.9 cyc/chunk, ROOFLINE.md §2).
+
+    Octet layout: chunk j of an octet holds word j of EIGHT different
+    slices, one per sublane — accumulating W chunks yields an (8, 128)
+    tile whose row m IS slice (o + m*stride)'s 128 row-scores. No
+    sublane reductions, no boundary splits, no width quantum needed for
+    the VPU (any integer width streams as whole chunks); the harvest is
+    the same strided top-2-of-8 fold as fold_tile=8. This is the TPU
+    move the reference cannot make: its HLS packets must stitch rows
+    across packet boundaries (loop_3, spmv_bscsr_top_k_multicore.hpp:
+    246-326) because the stream is row-major by construction.
+
+    Block-tail sublanes left by octets_per_block * 8W < block_sublanes
+    are zero and never touched by the kernel body — DMA-only waste,
+    hidden under the VPU-bound kernel's 2x bandwidth headroom.
+
+    skeleton: optional list of (width, num_octets, slice_base) triples to
+    conform to (partitioned/sharded engines share one compiled plan): the
+    member stride becomes the skeleton's num_octets (the max across
+    partitions), widths absent from this matrix become zero-real buckets,
+    and slice_base follows the skeleton's numbering, which reserves
+    chunk_sublanes * num_octets ids per width entry.
+    """
+    tgt = block_sublanes
+    S = m.config.chunk_sublanes
+    if skeleton is None:
+        shape = [(b.width, None, b.slice_base, b) for b in m.buckets]
+    else:
+        have = {}
+        for b in m.buckets:
+            if b.width in have:
+                raise ValueError(
+                    "fuse_buckets_octet(skeleton=...) needs unique bucket "
+                    f"widths (width {b.width} appears twice; pack with "
+                    "sigma_sort=True for partitioned/sharded engines)")
+            have[b.width] = b
+        shape = [(w, g, sb, have.get(w)) for w, g, sb in skeleton]
+    plan = []
+    chunks = []
+    nreal = []
+    blk = 0
+    for W, want_G, slice_base, b in shape:
+        n_sl = b.num_slices if b is not None else 0
+        G = -(-n_sl // S)                      # octets (= member stride)
+        if want_G is not None:
+            assert G <= want_G, (W, G, want_G)
+            G = want_G
+        if G == 0:
+            continue
+        src = np.zeros((S * G, W, LANES), np.int32)
+        if n_sl:
+            src[:n_sl] = b.words[: n_sl * W].reshape(n_sl, W, LANES)
+        # member (o, m) = slice o + m*G: (S, G, W, L)[m, o] -> (G, W, S, L)
+        octs = np.ascontiguousarray(
+            src.reshape(S, G, W, LANES).transpose(1, 2, 0, 3)
+        ).reshape(G, S * W, LANES)
+        del src
+        if S * W <= tgt:
+            opb = tgt // (S * W)
+            bpo = 1
+            nb = -(-G // opb)
+            buf = np.zeros((nb * tgt, LANES), np.int32)
+            buf3 = buf.reshape(nb, tgt, LANES)
+            nfull = G // opb
+            if nfull:
+                buf3[:nfull, : opb * S * W] = octs[: nfull * opb].reshape(
+                    nfull, opb * S * W, LANES)
+            rem = G - nfull * opb
+            if rem:
+                buf3[nfull, : rem * S * W] = octs[nfull * opb:].reshape(
+                    rem * S * W, LANES)
+        else:
+            opb = 1
+            bpo = -(-(S * W) // tgt)
+            nb = G * bpo
+            buf = np.zeros((nb * tgt, LANES), np.int32)
+            buf.reshape(G, bpo * tgt, LANES)[:, : S * W] = octs
+        plan.append(OctetBucket(
+            width=W, octets_per_block=opb, blocks_per_octet=bpo,
+            stride=G, slice_base=slice_base, blk_start=blk,
+            num_blocks=nb,
+        ))
+        chunks.append(buf)
+        nreal.append(n_sl)
+        blk += nb
+
+    words = np.concatenate(chunks) if chunks else \
+        np.zeros((0, LANES), np.int32)
+    return FusedSellMatrix(
+        words=words, plan=tuple(plan),
+        nreal=np.asarray(nreal, np.int32).reshape(-1, 1),
+        block_sublanes=tgt, num_blocks=blk,
+        row_ids=m.row_ids, num_rows=m.num_rows, num_cols=m.num_cols,
+        num_nnz=m.num_nnz, value_scale=m.value_scale,
+    )
+
+
 @dataclasses.dataclass
 class PartitionedFusedMatrix:
     """P row-partition streams sharing one fused plan skeleton.
@@ -298,10 +425,15 @@ class PartitionedFusedMatrix:
 
 def pack_fused_partitions(
     coo: CooMatrix, config: TopKSpMVConfig, num_partitions: int,
+    octet: bool = False,
 ) -> PartitionedFusedMatrix:
     """Pack `coo` as P contiguous row partitions with one common fused
     skeleton (the in-process analog of the sharded engine's cross-device
-    skeleton; partition rule = host_spmv_bscsr.cpp:136-150)."""
+    skeleton; partition rule = host_spmv_bscsr.cpp:136-150).
+
+    octet: lay each partition out in the slice-transposed octet stream
+    (fuse_buckets_octet); the common skeleton then fixes the member
+    stride (num_octets) per width across partitions."""
     P = num_partitions
     tgt = config.fused_block_sublanes
     if not coo.is_sorted_row_major():
@@ -325,24 +457,41 @@ def pack_fused_partitions(
         packs.append((lo, pack_sell_buckets(local, config,
                                             value_scale=vscale)))
 
-    # Common skeleton: per-width block maxima across partitions (same
+    # Common skeleton: per-width maxima across partitions (same
     # construction as the sharded engine's cross-device skeleton).
     by_width: dict[int, int] = {}
-    for _, m in packs:
-        for q in fuse_buckets(m, block_sublanes=tgt).plan:
-            by_width[q.width] = max(by_width.get(q.width, 0), q.num_blocks)
-    skeleton = []
-    base = 0
-    for w in sorted(by_width, reverse=True):
-        nb = by_width[w]
-        skeleton.append((w, nb, base))
-        spb = tgt // w if w <= tgt else 1
-        bps = 1 if w <= tgt else -(-w // tgt)
-        base += (nb * spb) if bps == 1 else (nb // bps)
-    total_slices = base
-
-    fused = [fuse_buckets(m, block_sublanes=tgt, skeleton=skeleton)
-             for _, m in packs]
+    if octet:
+        S = config.chunk_sublanes
+        for _, m in packs:
+            for b in m.buckets:
+                g = -(-b.num_slices // S)
+                by_width[b.width] = max(by_width.get(b.width, 0), g)
+        skeleton = []
+        base = 0
+        for w in sorted(by_width, reverse=True):
+            g = by_width[w]
+            skeleton.append((w, g, base))
+            base += S * g   # each width entry reserves S*G slice ids
+        total_slices = base
+        fused = [fuse_buckets_octet(m, block_sublanes=tgt,
+                                    skeleton=skeleton)
+                 for _, m in packs]
+    else:
+        for _, m in packs:
+            for q in fuse_buckets(m, block_sublanes=tgt).plan:
+                by_width[q.width] = max(by_width.get(q.width, 0),
+                                        q.num_blocks)
+        skeleton = []
+        base = 0
+        for w in sorted(by_width, reverse=True):
+            nb = by_width[w]
+            skeleton.append((w, nb, base))
+            spb = tgt // w if w <= tgt else 1
+            bps = 1 if w <= tgt else -(-w // tgt)
+            base += (nb * spb) if bps == 1 else (nb // bps)
+        total_slices = base
+        fused = [fuse_buckets(m, block_sublanes=tgt, skeleton=skeleton)
+                 for _, m in packs]
     plan = fused[0].plan
     num_blocks = fused[0].num_blocks
     nb_words = max(f.words.shape[0] for f in fused)

@@ -737,6 +737,135 @@ def _fused_kernel(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
         topt_ref[...] = tt[:].reshape(topt_ref.shape)
 
 
+def _octet_flush(tv, tt, sc, oidx, pb, nreal, toff, S, K, tie_safe,
+                 exact: bool):
+    """Harvest one octet's (S, 128) score tile into the Top-K buffers.
+
+    sc row m holds slice (oidx + m*stride)'s 128 row-scores (f32, no
+    penalties yet). Applies the padding penalties (block-padding octets:
+    oidx >= stride; slice-padding members: id >= nreal), then either the
+    strided top-2-of-S fold (the octet layout's intrinsic fold_tile=8 —
+    same semantics as _fused_kernel's tflush) or, in exact mode
+    (cfg.fold_tile == 1), one Top-K update per member slice.
+    """
+    G = pb.stride
+    miota = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+    # block-padding octets (scalar select) + slice-padding members
+    # (vector select, once per octet — amortized over width chunks)
+    pen = jnp.where(oidx < G, 0.0, NEG_INF)   # scalar-unit select
+    sc = sc + pen
+    sc = jnp.where(oidx + miota * G < nreal, sc, NEG_INF)
+    if exact:
+        for mrow in range(S):
+            t = pb.slice_base + oidx + mrow * G
+            _topk_update(tv, tt, sc[mrow:mrow + 1], t + toff, K,
+                         tie_safe=tie_safe)
+        return
+    # top-3-of-8: one more chain than the slice layout's tflush top-2.
+    # Strided members make every octet contain exactly ONE slice of the
+    # bucket's sigma-hot head segment; that member almost always takes a
+    # fold slot, so a 2-slot fold leaves just one slot for the other 7
+    # members (measured 0.992 mean precision@100 vs 1.0 for the slice
+    # layout on the 50k h16 corpus; 3 slots restore 1.0 — see
+    # experiments/octet_lab.py).
+    base = pb.slice_base + oidx + toff
+    for _ in range(3):
+        m1 = jnp.max(sc, axis=0, keepdims=True)
+        sl1 = jnp.min(jnp.where(sc == m1, miota, S), axis=0, keepdims=True)
+        _topk_update(tv, tt, m1, base + sl1 * G, K, tie_safe=tie_safe)
+        sc = jnp.where(miota == sl1, NEG_INF, sc)
+
+
+def _fused_kernel_octet(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
+                        tv, tt, carry, *, cfg: TopKSpMVConfig,
+                        plan: tuple, block_sublanes: int, codec: str = "f32",
+                        mask_lanes: bool = True, part_slices: int = 0):
+    """Fused kernel over the OCTET (slice-transposed) stream.
+
+    Each (8, 128) chunk holds word j of eight strided slices (see
+    formats/sell_buckets.py::fuse_buckets_octet), so the whole body is
+    `acc += decode(chunk)` with NO sublane reductions, NO period-boundary
+    splits, and NO width quantum — the three VPU taxes that kept the
+    slice-layout kernel at ~10.4 cyc/chunk against its own 8.5 bare-body
+    floor (ROOFLINE.md §2). The harvest is the strided top-2-of-8 fold
+    (fold_tile=8 semantics); cfg.fold_tile == 1 selects exact per-member
+    folds. Reference mapping: this removes loop_3 entirely — packets
+    never straddle rows by construction (spmv_bscsr_top_k_multicore.hpp:
+    246-326 has no TPU counterpart here).
+    """
+    tie_safe = cfg.tie_safe_topk
+    part = part_slices > 0
+    i = pl.program_id(1 if part else 0)
+    toff = pl.program_id(0) * part_slices if part else 0
+    S = cfg.chunk_sublanes
+    K = cfg.lane_k
+    exact = cfg.fold_tile == 1
+
+    @pl.when(i == 0)
+    def _():
+        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
+                 else _topk_init(tv.shape[0]))
+        tt[:] = jnp.zeros_like(tt)
+        carry[:] = jnp.zeros_like(carry)
+
+    shape = (S, LANES)
+    bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
+           for c in range(tab_ref.shape[0])]
+    prod = _codec_prod(codec)
+
+    for bi, pb in enumerate(plan):
+        W = pb.width
+        opb = pb.octets_per_block
+        bpo = pb.blocks_per_octet
+
+        @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
+        def _(bi=bi, pb=pb, W=W, opb=opb, bpo=bpo):
+            nreal = nreal_ref[0, bi, 0] if part else nreal_ref[bi, 0]
+
+            def prod_at(sub):
+                w = words_ref[pl.ds(sub, S), :]
+                return prod(bcs, w, S, mask_lanes)
+
+            def flush(sc, oidx):
+                _octet_flush(tv, tt, sc, oidx, pb, nreal, toff, S, K,
+                             tie_safe, exact)
+
+            if bpo == 1:
+                for o in range(opb):
+                    n_acc = 2 if W >= 2 else 1
+                    accs = [jnp.zeros(shape, _acc_dtype(codec))
+                            for _ in range(n_acc)]
+                    for j in range(W):
+                        accs[j % n_acc] = accs[j % n_acc] + \
+                            prod_at((o * W + j) * S)
+                    acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
+                    flush(_to_f32(acc), (i - pb.blk_start) * opb + o)
+            else:
+                # wide octet (8W > block): carry the (8, 128) partial tile
+                # across bpo blocks (trailing zero words are harmless)
+                accs = [jnp.zeros(shape, _acc_dtype(codec))
+                        for _ in range(2)]
+                for u in range(block_sublanes // S):
+                    accs[u % 2] = accs[u % 2] + prod_at(u * S)
+                psum = _to_f32(accs[0] + accs[1])
+                off = i - pb.blk_start
+                last = (off % bpo) == (bpo - 1)
+
+                @pl.when(~last)
+                def _():
+                    carry[:] = carry[:] + psum
+
+                @pl.when(last)
+                def _():
+                    flush(carry[:] + psum, off // bpo)
+                    carry[:] = jnp.zeros_like(carry)
+
+    @pl.when(i == pl.num_programs(1 if part else 0) - 1)
+    def _():
+        topv_ref[...] = tv[:].reshape(topv_ref.shape)
+        topt_ref[...] = tt[:].reshape(topt_ref.shape)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
@@ -852,6 +981,114 @@ def topk_spmv_fused_part_device(
             # tilebuf: fold_tile (<=8) scores per sub-tile x Ps (<=8)
             # sub-tiles per period (quantum-1 odd widths use all 64)
             pltpu.VMEM((64, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(nreal, table, words)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "interpret", "codec"),
+)
+def topk_spmv_fused_octet_device(
+    words, table, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Whole-matrix OCTET-layout kernel (see _fused_kernel_octet).
+
+    Same contract as topk_spmv_fused_device but `words` is the
+    slice-transposed stream of fuse_buckets_octet and `plan` is a tuple
+    of OctetBucket. The carry scratch is a full (chunk_sublanes, 128)
+    partial-score tile (wide octets span blocks whole, not per-slice).
+    """
+    K = cfg.lane_k
+    S = cfg.chunk_sublanes
+    kernel = functools.partial(
+        _fused_kernel_octet, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, codec=codec, mask_lanes=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((nreal.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, LANES), jnp.float32),
+            pltpu.VMEM((K, LANES), jnp.int32),
+            pltpu.VMEM((S, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nreal, table, words)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "num_partitions", "part_slices", "interpret", "codec"),
+)
+def topk_spmv_fused_octet_part_device(
+    words, table, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int, num_partitions: int,
+    part_slices: int, interpret: bool = False, codec: str = "f32",
+):
+    """Partitioned octet kernel: P row partitions on a PARALLEL grid axis
+    (megacore), octet stream per partition. Same geometry contract as
+    topk_spmv_fused_part_device."""
+    K = cfg.lane_k
+    S = cfg.chunk_sublanes
+    kernel = functools.partial(
+        _fused_kernel_octet, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, codec=codec, mask_lanes=interpret,
+        part_slices=part_slices,
+    )
+    P = num_partitions
+    return pl.pallas_call(
+        kernel,
+        grid=(P, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, nreal.shape[1], 1), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((table.shape[0], LANES), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES),
+                         lambda p, i, nb=num_blocks: (p * nb + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((P, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, LANES), jnp.float32),
+            pltpu.VMEM((K, LANES), jnp.int32),
+            pltpu.VMEM((S, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

@@ -93,6 +93,43 @@ def test_kernel_lane_k_approximation_recall():
     assert _precision(gi, ki) >= 0.97
 
 
+@pytest.mark.parametrize("partitions", [1, 2])
+def test_octet_layout_exact(partitions):
+    """The slice-transposed octet stream (fused_layout='octet') with
+    fold_tile=1 is exact: every member slice gets its own Top-K fold.
+    Covers narrow (bpo=1) and wide (bpo>1) octets via quantum-2 widths
+    at 64-sublane blocks."""
+    coo = create_sparse_matrix(1100, 512, 16, "gamma", seed=30)
+    from spmv_topk_tpu.ops.fixedpoint import quantize_bf16
+    qcoo = CooMatrix(coo.rows, coo.cols, quantize_bf16(coo.vals),
+                     coo.num_rows, coo.num_cols)
+    cfg = TopKSpMVConfig(k=50, lane_k=8, num_partitions=partitions,
+                         max_cols=512, block_sublanes=64,
+                         fused_block_sublanes=64, width_quantum=2,
+                         fused_layout="octet", fold_tile=1)
+    eng = TopKSpMV(coo, cfg)
+    q = create_sample_vector(512, seed=31)
+    ki, kv = map(np.asarray, eng.query(q))
+    gi, gv = topk_exact(qcoo, q, 50)
+    assert _precision(gi, ki) == 1.0
+    np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=1e-5)
+
+
+def test_octet_layout_production_fold():
+    """Octet + h16 + intrinsic top-2-of-8 fold + rescore pool (the
+    production recipe) recovers the exact top-k."""
+    coo = create_sparse_matrix(4000, 512, 16, "gamma", seed=32)
+    cfg = TopKSpMVConfig(k=100, lane_k=8, max_cols=512, block_sublanes=64,
+                         fused_block_sublanes=64, width_quantum=2,
+                         fused_layout="octet", fold_tile=8,
+                         query_codec="h16", rescore_pool=400)
+    eng = TopKSpMV(coo, cfg)
+    q = create_sample_vector(512, seed=33)
+    ki, _ = map(np.asarray, eng.query(q))
+    gi, _ = topk_exact(coo, q, 100)
+    assert _precision(gi, ki) >= 0.97
+
+
 def test_segment_xla_baseline():
     coo = create_sparse_matrix(900, 256, 10, "uniform", seed=16)
     q = create_sample_vector(256, seed=17)
