@@ -37,12 +37,15 @@ from spmv_topk_tpu.api import TopKSpMV
 from spmv_topk_tpu.config import TopKSpMVConfig
 from spmv_topk_tpu.formats import create_sparse_matrix, create_query_batch
 from spmv_topk_tpu.ops.kernel import (topk_spmv_fused_device,
-                                      topk_spmv_fused_octet_device)
+                                      topk_spmv_fused_octet_device,
+                                      topk_spmv_fused_batch_device,
+                                      topk_spmv_fused_batch_octet_device)
 
 ROWS = int(os.environ.get("LAB_ROWS", 2_000_000))
 COLS = 1024
 DEG = 20
 REPS = int(os.environ.get("LAB_REPS", 7))
+BATCH = int(os.environ.get("LAB_BATCH", 0))   # 0 = single-query mode
 
 
 def _timed(fn):
@@ -74,6 +77,48 @@ def make_runner(eng, n_queries):
     return lambda: np.asarray(run(eng._fwords, eng._fnreal, tables)[0])
 
 
+def make_batch_runner(eng, n_groups, Q):
+    """Scan over n_groups groups of Q stacked tables (bench.py protocol)."""
+    cfg = eng.config
+    octet = cfg.fused_layout == "octet"
+    dev = (topk_spmv_fused_batch_octet_device if octet
+           else topk_spmv_fused_batch_device)
+    from spmv_topk_tpu.ops.quantized_query import pack_query_tables
+    qs = create_query_batch(Q * n_groups, COLS, seed=4)
+    groups = jnp.stack([
+        jnp.asarray(pack_query_tables(qs[i * Q:(i + 1) * Q],
+                                      cfg.query_codec)[0])
+        for i in range(n_groups)
+    ])
+
+    @jax.jit
+    def run(words, nreal, gs):
+        def step(c, g):
+            tv, tt = dev(words, g, nreal, cfg=cfg, plan=eng.fused.plan,
+                         block_sublanes=eng.fused.block_sublanes,
+                         num_blocks=eng.fused.num_blocks,
+                         codec=cfg.query_codec)
+            return c, (tv.max(), tt.max())
+        _, outs = jax.lax.scan(step, 0, gs)
+        return outs
+
+    return lambda: np.asarray(run(eng._fwords, eng._fnreal, groups)[0])
+
+
+def measure_batch(name, eng, nnz, Q):
+    short, long_ = make_batch_runner(eng, 2, Q), make_batch_runner(eng, 12, Q)
+    t0 = time.time()
+    short(); long_()
+    compile_s = time.time() - t0
+    slopes = sorted((_timed(long_) - _timed(short)) / 10.0 / Q
+                    for _ in range(REPS))
+    per_query = slopes[len(slopes) // 2]
+    gnnz = nnz / per_query / 1e9
+    print(f"{name:14s} Q={Q:3d} {per_query * 1e3:8.3f} ms/q  "
+          f"{gnnz:7.1f} Gnnz/s/q  (compile+warm {compile_s:.1f}s)")
+    return gnnz
+
+
 def measure(name, eng, nnz):
     short, long_ = make_runner(eng, 4), make_runner(eng, 104)
     t0 = time.time()
@@ -98,6 +143,24 @@ def main():
                 query_codec="h16", fused_block_sublanes=1024,
                 fold_tile=8, rescore_pool=400)
     results = {}
+    if BATCH:
+        only = os.environ.get("LAB_ONLY", "")
+        variants = [("slice-q2", "slice"), ("octet-q2", "octet")]
+        if only:
+            variants = [v for v in variants if only in v[1]]
+        for name, layout in variants:
+            eng = TopKSpMV(coo, TopKSpMVConfig(
+                fused_layout=layout, width_quantum=2, **base))
+            for Q in (16, 32, 64):
+                results[f"{name}/Q{Q}"] = measure_batch(
+                    f"batch-{name}", eng, nnz, Q)
+            del eng
+        for Q in (16, 32, 64):
+            s = results.get(f"slice-q2/Q{Q}")
+            o = results.get(f"octet-q2/Q{Q}")
+            if s and o:
+                print(f"Q={Q}: octet vs slice {o / s:.3f}x")
+        return
     for name, layout, q in (("slice-q2", "slice", 2),
                             ("octet-q2", "octet", 2),
                             ("octet-q1", "octet", 1)):

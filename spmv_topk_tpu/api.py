@@ -180,10 +180,16 @@ class TopKSpMV:
         if self.config.layout != "bucketed":
             raise NotImplementedError("save() requires the bucketed layout")
         f = self.fused
-        plan_arr = np.array(
-            [[p.width, p.slices_per_block, p.blocks_per_slice,
-              p.slice_base, p.blk_start, p.num_blocks] for p in f.plan],
-            np.int64)
+        if self.config.fused_layout == "octet":
+            plan_arr = np.array(
+                [[p.width, p.octets_per_block, p.blocks_per_octet,
+                  p.stride, p.slice_base, p.blk_start, p.num_blocks]
+                 for p in f.plan], np.int64)
+        else:
+            plan_arr = np.array(
+                [[p.width, p.slices_per_block, p.blocks_per_slice,
+                  p.slice_base, p.blk_start, p.num_blocks] for p in f.plan],
+                np.int64)
         cfg = dataclasses.asdict(self.config)
         meta = dict(config=cfg, block_sublanes=f.block_sublanes,
                     num_blocks=f.num_blocks, num_rows=f.num_rows,
@@ -211,6 +217,7 @@ class TopKSpMV:
 
         from .config import TopKSpMVConfig, ValueFormat
         from .formats.sell_buckets import (FusedBucket, FusedSellMatrix,
+                                           OctetBucket,
                                            PartitionedFusedMatrix)
 
         z = np.load(path)
@@ -230,11 +237,19 @@ class TopKSpMV:
                 stacklevel=2)
             cfg_d["rescore_pool"] = None
         config = TopKSpMVConfig(**cfg_d)
-        plan = tuple(
-            FusedBucket(width=int(r[0]), slices_per_block=int(r[1]),
-                        blocks_per_slice=int(r[2]), slice_base=int(r[3]),
-                        blk_start=int(r[4]), num_blocks=int(r[5]))
-            for r in z["plan"])
+        if config.fused_layout == "octet":
+            plan = tuple(
+                OctetBucket(width=int(r[0]), octets_per_block=int(r[1]),
+                            blocks_per_octet=int(r[2]), stride=int(r[3]),
+                            slice_base=int(r[4]), blk_start=int(r[5]),
+                            num_blocks=int(r[6]))
+                for r in z["plan"])
+        else:
+            plan = tuple(
+                FusedBucket(width=int(r[0]), slices_per_block=int(r[1]),
+                            blocks_per_slice=int(r[2]), slice_base=int(r[3]),
+                            blk_start=int(r[4]), num_blocks=int(r[5]))
+                for r in z["plan"])
         if meta.get("num_partitions", 1) > 1:
             fused = PartitionedFusedMatrix(
                 words=z["words"], plan=plan, nreal=z["nreal"],
@@ -397,10 +412,14 @@ class TopKSpMV:
     def batch_candidates_traceable(self, tables):
         """(Q, K, 128) candidates from stacked (Q, rows, 128) tables —
         (Q, P, K, 128) on partitioned engines (finalize flattens P)."""
+        octet = self.config.fused_layout == "octet"
         if self.config.num_partitions > 1:
-            from .ops.kernel import topk_spmv_fused_batch_part_device
+            from .ops.kernel import (topk_spmv_fused_batch_part_device,
+                                     topk_spmv_fused_batch_octet_part_device)
 
-            return topk_spmv_fused_batch_part_device(
+            dev = (topk_spmv_fused_batch_octet_part_device if octet
+                   else topk_spmv_fused_batch_part_device)
+            return dev(
                 self._fwords, tables, self._fnreal, cfg=self.config,
                 plan=self.fused.plan,
                 block_sublanes=self.fused.block_sublanes,
@@ -409,9 +428,12 @@ class TopKSpMV:
                 part_slices=self.fused.part_slices,
                 interpret=self._interpret, codec=self.config.query_codec,
             )
-        from .ops.kernel import topk_spmv_fused_batch_device
+        from .ops.kernel import (topk_spmv_fused_batch_device,
+                                 topk_spmv_fused_batch_octet_device)
 
-        return topk_spmv_fused_batch_device(
+        dev = (topk_spmv_fused_batch_octet_device if octet
+               else topk_spmv_fused_batch_device)
+        return dev(
             self._fwords, tables, self._fnreal, cfg=self.config,
             plan=self.fused.plan,
             block_sublanes=self.fused.block_sublanes,
@@ -513,16 +535,21 @@ class TopKSpMV:
         Materializes N floats — prefer query() for similarity lookup."""
         if self.config.layout != "bucketed":
             raise NotImplementedError("scores() requires the bucketed layout")
-        from .ops.kernel import spmv_fused_scores_device
+        from .ops.kernel import (spmv_fused_scores_device,
+                                 spmv_fused_scores_octet_device)
 
+        octet = self.config.fused_layout == "octet"
+        S = self.config.chunk_sublanes
         P = self.config.num_partitions
+        dev = spmv_fused_scores_octet_device if octet \
+            else spmv_fused_scores_device
         table, scale = self._table(vec)
-        out = np.asarray(spmv_fused_scores_device(
+        out = np.asarray(dev(
             self._fwords, table, cfg=self.config, plan=self.fused.plan,
             block_sublanes=self.fused.block_sublanes,
             num_blocks=self.fused.num_blocks, num_partitions=P,
             interpret=self._interpret, codec=self.config.query_codec,
-        ))                                  # (P, num_blocks, max_spb, 128)
+        ))                                  # (P, num_blocks, max_rows, 128)
         res = np.zeros(self.num_rows, np.float32)
         row_ids = self.fused.row_ids
         nreal = self.fused.nreal            # (B, 1) or (P, B, 1)
@@ -536,7 +563,21 @@ class TopKSpMV:
                 if nsl == 0:
                     continue
                 b0, nb = pb.blk_start, pb.num_blocks
-                if pb.blocks_per_slice == 1:
+                if octet:
+                    # member row m of octet o holds slice o + m*stride:
+                    # transpose (o, m) -> (m, o) so the flat index IS the
+                    # in-bucket slice id (see _fused_scores_kernel_octet)
+                    G = pb.stride
+                    if pb.blocks_per_octet == 1:
+                        opb = pb.octets_per_block
+                        sc = out[p, b0:b0 + nb, :opb * S].reshape(
+                            -1, S, LANES)[:G]
+                    else:
+                        bpo = pb.blocks_per_octet
+                        sc = out[p, b0 + bpo - 1:b0 + nb:bpo, :S][:G]
+                    sc = np.ascontiguousarray(
+                        sc.transpose(1, 0, 2)).reshape(-1, LANES)[:nsl]
+                elif pb.blocks_per_slice == 1:
                     sc = out[p, b0:b0 + nb, :pb.slices_per_block].reshape(
                         -1, LANES)[:nsl]
                 else:  # wide slices: score lands at the span's last block

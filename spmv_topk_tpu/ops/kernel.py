@@ -77,6 +77,11 @@ def _gather_query(tab_ref, w, num_groups, sublanes):
 # cannot collapse the whole buffer onto one candidate.
 TOPK_FLOOR = -1e38
 
+# Unrolled-work cap for the batch kernels' per-bucket bodies (chunk-applies
+# per branch); larger fans out to lax.fori_loop. Module-level so tests can
+# force the fori path on small shapes.
+_BATCH_UNROLL_LIMIT = 256
+
 
 def _topk_init(lane_k):
     """(lane_k, 128) distinct finite sentinels, all below TOPK_FLOOR."""
@@ -1421,6 +1426,259 @@ def topk_spmv_fused_batch_part_device(
     )(nreal, tables.reshape(Q * TR, LANES), words)
 
 
+def _fused_kernel_batch_octet(nreal_ref, tab_ref, words_ref, topv_ref,
+                              topt_ref, tv, tt, carry, *,
+                              cfg: TopKSpMVConfig, plan: tuple,
+                              block_sublanes: int, codec: str,
+                              num_queries: int, table_rows: int,
+                              mask_lanes: bool = True,
+                              part_slices: int = 0):
+    """Multi-query kernel over the OCTET stream (see _fused_kernel_octet).
+
+    The octet layout's win compounds with batching: the slice batch
+    kernel pays Q per-slice sublane reductions and Q sets of boundary-
+    chunk stitches per block; here each query's work is exactly
+    `acc_q += apply(bcs_q, shared)` per chunk plus one strided fold per
+    octet — the shared decode is still computed once per chunk for the
+    whole sub-group (_codec_split)."""
+    tie_safe = cfg.tie_safe_topk
+    part = part_slices > 0
+    i = pl.program_id(1 if part else 0)
+    toff = pl.program_id(0) * part_slices if part else 0
+    S = cfg.chunk_sublanes
+    K = cfg.lane_k
+    Q = num_queries
+    TR = table_rows
+    QG = cfg.batch_subgroup or Q
+    subgroups = [(q0, min(QG, Q - q0)) for q0 in range(0, Q, QG)]
+    exact = cfg.fold_tile == 1
+
+    @pl.when(i == 0)
+    def _():
+        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
+                 else jnp.broadcast_to(_topk_init(K), tv.shape))
+        tt[:] = jnp.zeros_like(tt)
+        carry[:] = jnp.zeros_like(carry)
+
+    shape = (S, LANES)
+    bcs_q = [
+        [jnp.broadcast_to(tab_ref[q * TR + c:q * TR + c + 1, :], shape)
+         for c in range(TR)]
+        for q in range(Q)
+    ]
+    shared_fn, apply_fn = _codec_split(codec)
+    miota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+    def flush(q, sc, oidx, pb, nreal):
+        """Per-query octet harvest (same fold as _octet_flush, inline
+        buffer update on the (Q, K, 128) scratch)."""
+        G = pb.stride
+        pen = jnp.where(oidx < G, 0.0, NEG_INF)      # block-pad octets
+        sc = sc + pen
+        sc = jnp.where(oidx + miota * G < nreal, sc, NEG_INF)
+        base = pb.slice_base + oidx + toff
+
+        def upd(score, t):
+            cur = tv[q]
+            cur_min = jnp.min(cur, axis=0, keepdims=True)
+            if tie_safe:
+                iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+                slot = jnp.min(jnp.where(cur == cur_min, iota, K), axis=0,
+                               keepdims=True)
+                replace = (iota == slot) & (score >= cur_min)
+            else:
+                replace = (cur == cur_min) & (score >= cur_min)
+            tv[q] = jnp.where(replace, score, cur)
+            tt[q] = jnp.where(replace, t, tt[q])
+
+        if exact:
+            for m in range(S):
+                upd(sc[m:m + 1], base + m * G)
+            return
+        for _ in range(3):                           # top-3-of-8
+            m1 = jnp.max(sc, axis=0, keepdims=True)
+            sl1 = jnp.min(jnp.where(sc == m1, miota, S), axis=0,
+                          keepdims=True)
+            upd(m1, base + sl1 * G)
+            sc = jnp.where(miota == sl1, NEG_INF, sc)
+
+    for bi, pb in enumerate(plan):
+        W = pb.width
+        opb = pb.octets_per_block
+        bpo = pb.blocks_per_octet
+
+        @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
+        def _(bi=bi, pb=pb, W=W, opb=opb, bpo=bpo):
+            nreal = nreal_ref[0, bi, 0] if part else nreal_ref[bi, 0]
+
+            def shared_at(sub):
+                w = words_ref[pl.ds(sub, S), :]
+                return shared_fn(w, mask_lanes)
+
+            if bpo == 1:
+                def do_octet(o):
+                    oidx = (i - pb.blk_start) * opb + o
+                    for q0, ng in subgroups:
+                        accs = [jnp.zeros(shape, _acc_dtype(codec))
+                                for _ in range(ng)]
+                        for j in range(W):
+                            sh = shared_at((o * W + j) * S)
+                            for dq in range(ng):
+                                accs[dq] = accs[dq] + apply_fn(
+                                    bcs_q[q0 + dq], sh)
+                        for dq in range(ng):
+                            flush(q0 + dq, _to_f32(accs[dq]), oidx, pb,
+                                  nreal)
+
+                # bound the unrolled program: opb*W*Q chunk-applies per
+                # branch explode at batch sizes (same guard as the slice
+                # batch kernel's spb*(W/S)*Q <= 256)
+                if opb * W * Q <= _BATCH_UNROLL_LIMIT:
+                    for o in range(opb):
+                        do_octet(o)
+                else:
+                    jax.lax.fori_loop(
+                        0, opb, lambda o, c: (do_octet(o), c)[1], 0)
+            else:
+                # wide octet: carry each query's (8, 128) partial tile.
+                # fori over chunks with ONE stacked (Q, 8, 128) carry —
+                # unrolling 128 chunks x Q live accumulators blew Mosaic's
+                # scoped-vmem stack at Q=64 (29.6M > 16M limit).
+                def chunk_body(u, acc):
+                    sh = shared_at(u * S)
+                    return acc + jnp.stack(
+                        [apply_fn(bcs_q[q], sh) for q in range(Q)])
+
+                acc = jax.lax.fori_loop(
+                    0, block_sublanes // S, chunk_body,
+                    jnp.zeros((Q, S, LANES), _acc_dtype(codec)))
+                psums = _to_f32(acc)
+                off = i - pb.blk_start
+                last = (off % bpo) == (bpo - 1)
+
+                @pl.when(~last)
+                def _():
+                    carry[:] = carry[:] + psums
+
+                @pl.when(last)
+                def _():
+                    oidx = off // bpo
+                    for q in range(Q):
+                        flush(q, carry[q] + psums[q], oidx, pb, nreal)
+                    carry[:] = jnp.zeros_like(carry)
+
+    @pl.when(i == pl.num_programs(1 if part else 0) - 1)
+    def _():
+        topv_ref[...] = tv[:].reshape(topv_ref.shape)
+        topt_ref[...] = tt[:].reshape(topt_ref.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "interpret", "codec"),
+)
+def topk_spmv_fused_batch_octet_device(
+    words, tables, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Multi-query octet kernel. tables: (Q, table_rows, 128); returns
+    (topv, topt) of (Q, lane_k, 128)."""
+    Q, TR, _ = tables.shape
+    K = cfg.lane_k
+    S = cfg.chunk_sublanes
+    kernel = functools.partial(
+        _fused_kernel_batch_octet, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, codec=codec,
+        num_queries=Q, table_rows=TR, mask_lanes=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((nreal.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Q * TR, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, K, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, K, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, K, LANES), jnp.float32),
+            pltpu.VMEM((Q, K, LANES), jnp.int32),
+            pltpu.VMEM((Q, S, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nreal, tables.reshape(Q * TR, LANES), words)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "num_partitions", "part_slices", "interpret", "codec"),
+)
+def topk_spmv_fused_batch_octet_part_device(
+    words, tables, nreal, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int, num_partitions: int,
+    part_slices: int, interpret: bool = False, codec: str = "f32",
+):
+    """Partitioned multi-query octet kernel (megacore parallel axis).
+    Same geometry contract as topk_spmv_fused_batch_part_device."""
+    Q, TR, _ = tables.shape
+    K = cfg.lane_k
+    S = cfg.chunk_sublanes
+    P = num_partitions
+    kernel = functools.partial(
+        _fused_kernel_batch_octet, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, codec=codec,
+        num_queries=Q, table_rows=TR, mask_lanes=interpret,
+        part_slices=part_slices,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(P, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, nreal.shape[1], 1), lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Q * TR, LANES), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES),
+                         lambda p, i, nb=num_blocks: (p * nb + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, 1, K, LANES), lambda p, i: (0, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1, K, LANES), lambda p, i: (0, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, P, K, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Q, P, K, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, K, LANES), jnp.float32),
+            pltpu.VMEM((Q, K, LANES), jnp.int32),
+            pltpu.VMEM((Q, S, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(nreal, tables.reshape(Q * TR, LANES), words)
+
+
 def _fused_scores_kernel(tab_ref, words_ref, out_ref, carry, *,
                          cfg: TopKSpMVConfig, plan: tuple,
                          block_sublanes: int, max_spb: int, codec: str,
@@ -1612,6 +1870,136 @@ def spmv_fused_scores_device(
             ((P, num_blocks, max_spb, LANES) if part
              else (num_blocks, max_spb, LANES)), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")) if part
+            else None),
+        interpret=interpret,
+    )(table, words)
+    return out if part else out[None]
+
+
+def _fused_scores_kernel_octet(tab_ref, words_ref, out_ref, carry, *,
+                               cfg: TopKSpMVConfig, plan: tuple,
+                               block_sublanes: int, codec: str,
+                               mask_lanes: bool = True, part: bool = False):
+    """Plain SpMV over the OCTET stream: each octet's accumulated (8, 128)
+    tile IS eight slices' scores — written straight to the output block at
+    rows [o*8, (o+1)*8). Member row m of octet oidx holds slice
+    oidx + m*stride (see TopKSpMV.scores for the host transpose)."""
+    i = pl.program_id(1 if part else 0)
+    S = cfg.chunk_sublanes
+
+    @pl.when(i == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    shape = (S, LANES)
+    bcs = [jnp.broadcast_to(tab_ref[c:c + 1, :], shape)
+           for c in range(tab_ref.shape[0])]
+    prod = _codec_prod(codec)
+
+    if part:
+        def write(r, tile):
+            out_ref[0, 0, pl.ds(r, S), :] = tile
+    else:
+        def write(r, tile):
+            out_ref[0, pl.ds(r, S), :] = tile
+
+    for bi, pb in enumerate(plan):
+        W = pb.width
+        opb = pb.octets_per_block
+        bpo = pb.blocks_per_octet
+
+        @pl.when((i >= pb.blk_start) & (i < pb.blk_start + pb.num_blocks))
+        def _(bi=bi, pb=pb, W=W, opb=opb, bpo=bpo):
+            def prod_at(sub):
+                w = words_ref[pl.ds(sub, S), :]
+                return prod(bcs, w, S, mask_lanes)
+
+            if bpo == 1:
+                for o in range(opb):
+                    n_acc = 2 if W >= 2 else 1
+                    accs = [jnp.zeros(shape, _acc_dtype(codec))
+                            for _ in range(n_acc)]
+                    for j in range(W):
+                        accs[j % n_acc] = accs[j % n_acc] + \
+                            prod_at((o * W + j) * S)
+                    acc = accs[0] if n_acc == 1 else accs[0] + accs[1]
+                    write(o * S, _to_f32(acc))
+            else:
+                accs = [jnp.zeros(shape, _acc_dtype(codec))
+                        for _ in range(2)]
+                for u in range(block_sublanes // S):
+                    accs[u % 2] = accs[u % 2] + prod_at(u * S)
+                psum = _to_f32(accs[0] + accs[1])
+                off = i - pb.blk_start
+                last = (off % bpo) == (bpo - 1)
+
+                @pl.when(~last)
+                def _():
+                    carry[:] = carry[:] + psum
+
+                @pl.when(last)
+                def _():
+                    write(0, carry[:] + psum)
+                    carry[:] = jnp.zeros_like(carry)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "plan", "block_sublanes", "num_blocks",
+                     "num_partitions", "interpret", "codec"),
+)
+def spmv_fused_scores_octet_device(
+    words, table, *, cfg: TopKSpMVConfig, plan: tuple,
+    block_sublanes: int, num_blocks: int, num_partitions: int = 1,
+    interpret: bool = False, codec: str = "f32",
+):
+    """Dense per-slice scores over the OCTET stream.
+
+    Returns (P, num_blocks, max_rows, 128) f32 where max_rows = 8 * max
+    octets-per-block: block b rows [o*8, (o+1)*8) hold octet
+    (b - blk_start)*opb + o's member tiles (wide octets land at the last
+    block of their span, rows [0, 8))."""
+    S = cfg.chunk_sublanes
+    max_rows = max(pb.octets_per_block for pb in plan) * S
+    P = num_partitions
+    part = P > 1
+    kernel = functools.partial(
+        _fused_scores_kernel_octet, cfg=cfg, plan=plan,
+        block_sublanes=block_sublanes, codec=codec,
+        mask_lanes=interpret, part=part,
+    )
+    grid = (P, num_blocks) if part else (num_blocks,)
+    if part:
+        in_specs = [
+            pl.BlockSpec((table.shape[0], LANES), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES),
+                         lambda p, i, nb=num_blocks: (p * nb + i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec((1, 1, max_rows, LANES),
+                                 lambda p, i: (p, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        in_specs = [
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_sublanes, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec((1, max_rows, LANES), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct(
+            ((P, num_blocks, max_rows, LANES) if part
+             else (num_blocks, max_rows, LANES)), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, LANES), jnp.float32)],
         compiler_params=(pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")) if part
             else None),

@@ -42,7 +42,8 @@ from jax.experimental.shard_map import shard_map
 
 from ..config import LANES, TopKSpMVConfig, DEFAULT_CONFIG
 from ..formats.coo import CooMatrix
-from ..formats.sell_buckets import pack_sell_buckets, fuse_buckets
+from ..formats.sell_buckets import (pack_sell_buckets, fuse_buckets,
+                                    fuse_buckets_octet)
 from ..ops.kernel import TOPK_FLOOR
 from .sharded import AXIS, make_mesh
 
@@ -168,9 +169,19 @@ class ShardedBucketedTopKSpMV:
         # under shard_map, with per-(device, partition) real-slice counts
         # (nreal) masking padding slices.
         tgt = config.fused_block_sublanes
+        octet = config.fused_layout == "octet"
+        S = config.chunk_sublanes
         by_width: dict[int, int] = {}
         for units in packs:
             for _, m in units:
+                if octet:
+                    # octet skeleton shares the member STRIDE (num octets
+                    # G) per width; the exchanged pair is (width, G)
+                    for b in m.buckets:
+                        g = -(-b.num_slices // S)
+                        by_width[b.width] = max(
+                            by_width.get(b.width, 0), g)
+                    continue
                 f_local = fuse_buckets(m, block_sublanes=tgt)
                 for p in f_local.plan:
                     by_width[p.width] = max(by_width.get(p.width, 0),
@@ -193,13 +204,17 @@ class ShardedBucketedTopKSpMV:
         for w in sorted(by_width, reverse=True):
             nb = by_width[w]
             skeleton.append((w, nb, base))
-            spb = tgt // w if w <= tgt else 1
-            bps = 1 if w <= tgt else -(-w // tgt)
-            base += (nb * spb) if bps == 1 else (nb // bps)
+            if octet:
+                base += S * nb   # nb = G here; S*G slice ids per width
+            else:
+                spb = tgt // w if w <= tgt else 1
+                bps = 1 if w <= tgt else -(-w // tgt)
+                base += (nb * spb) if bps == 1 else (nb // bps)
         total_slices = base
 
         # Per-(device, partition) fused streams conforming to the skeleton.
-        fused = [[fuse_buckets(m, block_sublanes=tgt, skeleton=skeleton)
+        fuse = fuse_buckets_octet if octet else fuse_buckets
+        fused = [[fuse(m, block_sublanes=tgt, skeleton=skeleton)
                   for _, m in units] for units in packs]
         plan0 = fused[0][0].plan
         nb_words = max(f.words.shape[0] for fs in fused for f in fs)
@@ -299,10 +314,16 @@ class ShardedBucketedTopKSpMV:
         import json
 
         if jax.process_index() == 0:
-            plan_arr = np.array(
-                [[q.width, q.slices_per_block, q.blocks_per_slice,
-                  q.slice_base, q.blk_start, q.num_blocks]
-                 for q in self.fused_plan], np.int64)
+            if self.config.fused_layout == "octet":
+                plan_arr = np.array(
+                    [[q.width, q.octets_per_block, q.blocks_per_octet,
+                      q.stride, q.slice_base, q.blk_start, q.num_blocks]
+                     for q in self.fused_plan], np.int64)
+            else:
+                plan_arr = np.array(
+                    [[q.width, q.slices_per_block, q.blocks_per_slice,
+                      q.slice_base, q.blk_start, q.num_blocks]
+                     for q in self.fused_plan], np.int64)
             cfg = dataclasses.asdict(self.config)
             meta = dict(config=cfg, block_sublanes=self.fused_block_sublanes,
                         num_blocks=self.fused_num_blocks,
@@ -347,18 +368,26 @@ class ShardedBucketedTopKSpMV:
         import json
 
         from ..config import TopKSpMVConfig, ValueFormat
-        from ..formats.sell_buckets import FusedBucket
+        from ..formats.sell_buckets import FusedBucket, OctetBucket
 
         z = np.load(f"{path}.meta.npz")
         meta = json.loads(bytes(z["meta"]).decode())
         cfg_d = dict(meta["config"])
         cfg_d["value_format"] = ValueFormat(**cfg_d["value_format"])
         config = TopKSpMVConfig(**cfg_d)
-        plan = tuple(
-            FusedBucket(width=int(r[0]), slices_per_block=int(r[1]),
-                        blocks_per_slice=int(r[2]), slice_base=int(r[3]),
-                        blk_start=int(r[4]), num_blocks=int(r[5]))
-            for r in z["plan"])
+        if config.fused_layout == "octet":
+            plan = tuple(
+                OctetBucket(width=int(r[0]), octets_per_block=int(r[1]),
+                            blocks_per_octet=int(r[2]), stride=int(r[3]),
+                            slice_base=int(r[4]), blk_start=int(r[5]),
+                            num_blocks=int(r[6]))
+                for r in z["plan"])
+        else:
+            plan = tuple(
+                FusedBucket(width=int(r[0]), slices_per_block=int(r[1]),
+                            blocks_per_slice=int(r[2]), slice_base=int(r[3]),
+                            blk_start=int(r[4]), num_blocks=int(r[5]))
+                for r in z["plan"])
 
         self = cls.__new__(cls)
         self._setup_mesh(mesh, config, interpret)
@@ -410,7 +439,9 @@ class ShardedBucketedTopKSpMV:
         megacore CU hierarchy composed with sharding), else the plain
         fused kernel."""
         from ..ops.kernel import (topk_spmv_fused_device,
-                                  topk_spmv_fused_part_device)
+                                  topk_spmv_fused_part_device,
+                                  topk_spmv_fused_octet_device,
+                                  topk_spmv_fused_octet_part_device)
 
         cfg = self.config
         interpret = self._interpret
@@ -419,15 +450,20 @@ class ShardedBucketedTopKSpMV:
         block_sub = self.fused_block_sublanes
         NP = cfg.num_partitions
         part_slices = self._total_slices + 1
+        octet = cfg.fused_layout == "octet"
 
         if NP > 1:
-            return lambda nreal, table, words: topk_spmv_fused_part_device(
+            dev = (topk_spmv_fused_octet_part_device if octet
+                   else topk_spmv_fused_part_device)
+            return lambda nreal, table, words: dev(
                 words, table, nreal, cfg=cfg, plan=plan,
                 block_sublanes=block_sub, num_blocks=num_blocks,
                 num_partitions=NP, part_slices=part_slices,
                 interpret=interpret, codec=cfg.query_codec,
             )
-        return lambda nreal, table, words: topk_spmv_fused_device(
+        dev = (topk_spmv_fused_octet_device if octet
+               else topk_spmv_fused_device)
+        return lambda nreal, table, words: dev(
             words, table, nreal[0], cfg=cfg, plan=plan,
             block_sublanes=block_sub, num_blocks=num_blocks,
             interpret=interpret, codec=cfg.query_codec,
@@ -521,7 +557,9 @@ class ShardedBucketedTopKSpMV:
         """(nreal, tables, words) -> (Q, [P,] K, 128) candidates on one
         device's shard (partition-parallel when num_partitions > 1)."""
         from ..ops.kernel import (topk_spmv_fused_batch_device,
-                                  topk_spmv_fused_batch_part_device)
+                                  topk_spmv_fused_batch_part_device,
+                                  topk_spmv_fused_batch_octet_device,
+                                  topk_spmv_fused_batch_octet_part_device)
 
         cfg = self.config
         interpret = self._interpret
@@ -530,16 +568,20 @@ class ShardedBucketedTopKSpMV:
         block_sub = self.fused_block_sublanes
         NP = cfg.num_partitions
         part_slices = self._total_slices + 1
+        octet = cfg.fused_layout == "octet"
 
         if NP > 1:
-            return lambda nreal, tables, words: \
-                topk_spmv_fused_batch_part_device(
-                    words, tables, nreal, cfg=cfg, plan=plan,
-                    block_sublanes=block_sub, num_blocks=num_blocks,
-                    num_partitions=NP, part_slices=part_slices,
-                    interpret=interpret, codec=cfg.query_codec,
-                )
-        return lambda nreal, tables, words: topk_spmv_fused_batch_device(
+            dev = (topk_spmv_fused_batch_octet_part_device if octet
+                   else topk_spmv_fused_batch_part_device)
+            return lambda nreal, tables, words: dev(
+                words, tables, nreal, cfg=cfg, plan=plan,
+                block_sublanes=block_sub, num_blocks=num_blocks,
+                num_partitions=NP, part_slices=part_slices,
+                interpret=interpret, codec=cfg.query_codec,
+            )
+        dev = (topk_spmv_fused_batch_octet_device if octet
+               else topk_spmv_fused_batch_device)
+        return lambda nreal, tables, words: dev(
             words, tables, nreal[0], cfg=cfg, plan=plan,
             block_sublanes=block_sub, num_blocks=num_blocks,
             interpret=interpret, codec=cfg.query_codec,
