@@ -1,2 +1,2 @@
 from . import gold, fixedpoint, xla_ref
-from .kernel import topk_spmv_sell_device, finalize_topk
+from .kernel import finalize_topk

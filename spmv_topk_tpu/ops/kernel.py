@@ -119,40 +119,6 @@ def _topk_update(tv, tt, score, slice_idx, lane_k, tie_safe=False):
     tt[:] = jnp.where(replace, slice_idx, tt[:])
 
 
-def _kernel(tab_ref, words_ref, meta_ref, topv_ref, topt_ref,
-            acc, tv, tt, *, cfg: TopKSpMVConfig, num_groups: int):
-    tie_safe = cfg.tie_safe_topk
-    i = pl.program_id(1)
-    S = cfg.chunk_sublanes
-    K = cfg.lane_k
-
-    @pl.when(i == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
-        tv[:] = (jnp.full_like(tv, NEG_INF) if tie_safe
-                 else _topk_init(tv.shape[0]))
-        tt[:] = jnp.zeros_like(tt)
-
-    for s in range(cfg.block_sublanes // S):
-        w = words_ref[s * S:(s + 1) * S, :]
-        val = _decode_val(w)
-        vec = _gather_query(tab_ref, w, num_groups, S)
-        acc[:] += val * vec
-
-        m = meta_ref[0, 0, s]
-
-        @pl.when((m & 1) == 1)
-        def _():
-            score = jnp.sum(acc[:], axis=0, keepdims=True)          # (1, 128)
-            acc[:] = jnp.zeros_like(acc)
-            _topk_update(tv, tt, score, m >> 1, K, tie_safe=tie_safe)
-
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _():
-        topv_ref[0] = tv[:]
-        topt_ref[0] = tt[:]
-
-
 def _gather_from_bcs(bcs, w, sublanes, mask_lanes=True):
     """vec[col] via hoisted broadcast table rows (see _gather_query)."""
     lo = jax.lax.shift_right_logical(w, 16)
@@ -2256,71 +2222,6 @@ def topk_spmv_bucket_device(
         ],
         interpret=interpret,
     )(num_real, table, words)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def topk_spmv_sell_device(
-    words, meta3d, table, *, cfg: TopKSpMVConfig, interpret: bool = False
-):
-    """Run the fused kernel.
-
-    Args:
-      words: (P * part_blocks * block_sublanes, 128) int32 packed nnz.
-      meta3d: (P * part_blocks, 1, block_sublanes // chunk_sublanes) int32.
-      table: (num_groups, 128) f32 query vector, group-major.
-
-    Returns:
-      topv (P, lane_k, 128) f32, topt (P, lane_k, 128) int32 — per-lane
-      Top-K candidates as (value, slice-index) pairs.
-    """
-    P = cfg.num_partitions
-    total_blocks = meta3d.shape[0]
-    part_blocks = total_blocks // P
-    num_groups = table.shape[0]
-    S = cfg.chunk_sublanes
-    cpb = cfg.block_sublanes // S
-    K = cfg.lane_k
-
-    grid = (P, part_blocks)
-    kernel = functools.partial(_kernel, cfg=cfg, num_groups=num_groups)
-
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((num_groups, LANES), lambda p, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (cfg.block_sublanes, LANES),
-                lambda p, i, pb=part_blocks: (p * pb + i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, cpb),
-                lambda p, i, pb=part_blocks: (p * pb + i, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, LANES), lambda p, i: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((P, K, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((P, K, LANES), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((S, LANES), jnp.float32),
-            pltpu.VMEM((K, LANES), jnp.float32),
-            pltpu.VMEM((K, LANES), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(table, words, meta3d)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from .sharded import AXIS
+from .mesh import AXIS
 
 
 def initialize_multihost(

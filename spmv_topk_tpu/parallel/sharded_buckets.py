@@ -45,7 +45,7 @@ from ..formats.coo import CooMatrix
 from ..formats.sell_buckets import (pack_sell_buckets, fuse_buckets,
                                     fuse_buckets_octet)
 from ..ops.kernel import TOPK_FLOOR
-from .sharded import AXIS, make_mesh
+from .mesh import AXIS, make_mesh
 
 _SKELETON_SLOTS = 256  # fixed-size allgather payload: (width, blocks) pairs
 
@@ -86,6 +86,11 @@ class ShardedBucketedTopKSpMV:
         exchange even single-process (None = auto: processes > 1); used
         by dry runs to execute the multi-host code path on one process.
         """
+        if config.fused_layout == "octet" and not config.sigma_sort:
+            raise ValueError(
+                "fused_layout='octet' on a sharded engine requires "
+                "sigma_sort=True: the cross-shard bucket skeleton cannot "
+                "hold duplicate widths in the transposed stream")
         self._setup_mesh(mesh, config, interpret)
         mesh = self.mesh
         D = int(mesh.devices.size)

@@ -25,7 +25,7 @@ from jax.experimental.shard_map import shard_map
 from ..config import TopKSpMVConfig, DEFAULT_CONFIG
 from ..formats.coo import CooMatrix
 from ..ops.dense import densify_bf16, densify_int8, dense_topk_batch
-from .sharded import AXIS, make_mesh
+from .mesh import AXIS, make_mesh
 
 
 class ShardedDenseTopKSpMV:
