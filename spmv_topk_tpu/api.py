@@ -23,8 +23,7 @@ import numpy as np
 
 from .config import LANES, TopKSpMVConfig, DEFAULT_CONFIG
 from .formats.coo import CooMatrix
-from .formats.sell import SellMatrix, pack_sell
-from .ops.kernel import topk_spmv_sell_device, finalize_topk
+from .ops.kernel import finalize_topk
 
 
 def exact_rescore(csr, idx, vec, k):
@@ -124,7 +123,7 @@ class TopKSpMV:
             # dot sums them, same semantics).
             self._scipy_csr = matrix.to_scipy_csr()
 
-        if config.layout == "bucketed" and config.num_partitions > 1:
+        if config.num_partitions > 1:
             # P row partitions on a parallel grid axis (megacore): the
             # analog of the reference's CU hierarchy (types.hpp:36-38).
             from .formats.sell_buckets import pack_fused_partitions
@@ -139,7 +138,7 @@ class TopKSpMV:
             self._row_ids = jax.device_put(self.fused.row_ids, device)
             self._bwords_cache = None
 
-        elif config.layout == "bucketed":
+        else:
             from .formats.sell_buckets import (pack_sell_buckets,
                                                fuse_buckets,
                                                fuse_buckets_octet)
@@ -155,17 +154,6 @@ class TopKSpMV:
             self._row_ids = jax.device_put(self.sell.row_ids, device)
             self._bwords_cache = None
 
-        elif config.layout == "streamed":
-            self._value_scale = 1.0
-            self.sell = pack_sell(matrix, config)
-            cpb = config.block_sublanes // config.chunk_sublanes
-            self._words = jax.device_put(self.sell.words, device)
-            self._meta3d = jax.device_put(
-                self.sell.meta.reshape(-1, 1, cpb), device
-            )
-            self._row_ids = jax.device_put(self.sell.row_ids, device)
-        else:
-            raise ValueError(f"unknown layout {config.layout!r}")
 
     def save(self, path: str) -> None:
         """Persist the packed engine (fused stream + plan + config).
@@ -177,8 +165,6 @@ class TopKSpMV:
         import dataclasses
         import json
 
-        if self.config.layout != "bucketed":
-            raise NotImplementedError("save() requires the bucketed layout")
         f = self.fused
         if self.config.fused_layout == "octet":
             plan_arr = np.array(
@@ -208,11 +194,14 @@ class TopKSpMV:
                          json.dumps(meta).encode(), np.uint8))
 
     @classmethod
-    def load(cls, path: str, device: Optional[jax.Device] = None):
+    def load(cls, path: str, device: Optional[jax.Device] = None,
+             matrix=None):
         """Reconstruct an engine saved with save() (incl. partitioned
         engines). query()/query_batch()/scores() all work on the loaded
-        engine; exact rescoring needs the source matrix (see the warning
-        below)."""
+        engine; exact rescoring needs the source matrix — pass it as
+        `matrix=` (CooMatrix or scipy) to reattach the host CSR and keep
+        the snapshot's rescore_pool armed, otherwise rescoring is
+        disabled (see the warning below)."""
         import json
 
         from .config import TopKSpMVConfig, ValueFormat
@@ -224,16 +213,15 @@ class TopKSpMV:
         meta = json.loads(bytes(z["meta"]).decode())
         cfg_d = dict(meta["config"])
         cfg_d["value_format"] = ValueFormat(**cfg_d["value_format"])
-        if cfg_d.get("rescore_pool"):
+        if cfg_d.get("rescore_pool") and matrix is None:
             # the snapshot holds only the packed stream, not the source
             # CSR the rescore needs — serve un-rescored rather than arm a
-            # crash in the default query() path (rebuild from the matrix
-            # to rescore)
+            # crash in the default query() path (pass matrix= to rescore)
             import warnings
 
             warnings.warn(
                 "loaded engine has no host CSR: rescore_pool disabled "
-                "(rebuild from the matrix to restore exact rescoring)",
+                "(pass matrix= to load() to restore exact rescoring)",
                 stacklevel=2)
             cfg_d["rescore_pool"] = None
         config = TopKSpMVConfig(**cfg_d)
@@ -278,6 +266,12 @@ class TopKSpMV:
         self._interpret = _auto_interpret(config)
         self.device = device or jax.devices()[0]
         self._scipy_csr = None  # exact rescoring needs the source matrix
+        if matrix is not None and config.rescore_pool:
+            if not isinstance(matrix, CooMatrix):
+                from .formats.coo import from_scipy
+
+                matrix = from_scipy(matrix)
+            self._scipy_csr = matrix.to_scipy_csr()
         self.sell = None  # per-bucket layout not persisted
         self.fused = fused
         self._value_scale = fused.value_scale
@@ -311,7 +305,7 @@ class TopKSpMV:
         """(topv, topt) from a device-resident (num_groups, 128) table;
         safe to call inside jit/scan (the matrix arrays are captured)."""
         octet = self.config.fused_layout == "octet"
-        if self.config.layout == "bucketed" and self.config.num_partitions > 1:
+        if self.config.num_partitions > 1:
             from .ops.kernel import (topk_spmv_fused_part_device,
                                      topk_spmv_fused_octet_part_device)
 
@@ -326,22 +320,17 @@ class TopKSpMV:
                 part_slices=self.fused.part_slices,
                 interpret=self._interpret, codec=self.config.query_codec,
             )
-        if self.config.layout == "bucketed":
-            from .ops.kernel import (topk_spmv_fused_device,
-                                     topk_spmv_fused_octet_device)
+        from .ops.kernel import (topk_spmv_fused_device,
+                                 topk_spmv_fused_octet_device)
 
-            dev = (topk_spmv_fused_octet_device if octet
-                   else topk_spmv_fused_device)
-            return dev(
-                self._fwords, table, self._fnreal, cfg=self.config,
-                plan=self.fused.plan,
-                block_sublanes=self.fused.block_sublanes,
-                num_blocks=self.fused.num_blocks,
-                interpret=self._interpret, codec=self.config.query_codec,
-            )
-        return topk_spmv_sell_device(
-            self._words, self._meta3d, table,
-            cfg=self.config, interpret=self._interpret,
+        dev = (topk_spmv_fused_octet_device if octet
+               else topk_spmv_fused_device)
+        return dev(
+            self._fwords, table, self._fnreal, cfg=self.config,
+            plan=self.fused.plan,
+            block_sublanes=self.fused.block_sublanes,
+            num_blocks=self.fused.num_blocks,
+            interpret=self._interpret, codec=self.config.query_codec,
         )
 
     # -- query path ---------------------------------------------------------
@@ -455,11 +444,6 @@ class TopKSpMV:
             rescore_pool = self.config.rescore_pool
         k = max(user_k, rescore_pool) if rescore_pool else user_k
         queries = np.asarray(queries, dtype=np.float32)
-        if self.config.layout != "bucketed":
-            outs = [self.query(q, user_k, rescore_pool=rescore_pool)
-                    for q in queries]
-            return (jnp.stack([jnp.asarray(o[0]) for o in outs]),
-                    jnp.stack([jnp.asarray(o[1]) for o in outs]))
 
         # batch_candidates_traceable needs no jit wrapper (the device
         # function takes the word stream as an explicit jitted argument —
@@ -533,8 +517,6 @@ class TopKSpMV:
         matrix values are 6-bit quantized, like the sweep); quantized
         QUERY codecs (i8s/i4s/int8x4) return codec-precision scores.
         Materializes N floats — prefer query() for similarity lookup."""
-        if self.config.layout != "bucketed":
-            raise NotImplementedError("scores() requires the bucketed layout")
         from .ops.kernel import (spmv_fused_scores_device,
                                  spmv_fused_scores_octet_device)
 
@@ -594,9 +576,7 @@ class TopKSpMV:
     @property
     def hbm_bytes(self) -> int:
         """Bytes actually streamed per query sweep (the fused stream)."""
-        if self.config.layout == "bucketed":
-            return self.fused.hbm_bytes
-        return self.sell.hbm_bytes
+        return self.fused.hbm_bytes
 
     @property
     def bytes_per_nnz(self) -> float:

@@ -10,8 +10,8 @@ benchmark loop (host_spmv_bscsr.cpp:510-707):
 Flags follow the reference where meaningful: -m matrix, -k top-k
 (default 20, options.hpp:28), -t num tests (default 3), -d debug prints,
 -v ignore matrix values (pattern treatment). FPGA-only flags (xclbin,
-block/grid size) are replaced by the TPU knobs (--layout, --codec,
---lane-k, --partitions).
+block/grid size) are replaced by the TPU knobs (--codec, --fused-layout,
+--width-quantum, --fold-tile, --lane-k).
 """
 
 from __future__ import annotations
@@ -32,8 +32,6 @@ def main(argv=None):
     ap.add_argument("-d", "--debug", action="store_true")
     ap.add_argument("-v", "--ignore-values", action="store_true",
                     help="treat the matrix as pattern (all values 1)")
-    ap.add_argument("--layout", default="bucketed",
-                    choices=["bucketed", "streamed"])
     ap.add_argument("--codec", default="f32",
                     choices=["f32", "int8x4", "i8s", "i4s", "h16"])
     ap.add_argument("--autotune", action="store_true",
@@ -42,6 +40,18 @@ def main(argv=None):
                          "(overrides --codec/--rescore-pool)")
     ap.add_argument("--target-precision", type=float, default=0.98)
     ap.add_argument("--lane-k", type=int, default=8)
+    ap.add_argument("--fused-layout", default="slice",
+                    choices=["slice", "octet"],
+                    help="fused stream word order (octet = slice-"
+                         "transposed, the bench.py headline layout; "
+                         "pair with --width-quantum 1)")
+    ap.add_argument("--width-quantum", type=int, default=8,
+                    choices=[1, 2, 4, 8],
+                    help="slice-width granularity (finer = less padding)")
+    ap.add_argument("--fold-tile", type=int, default=1,
+                    choices=[1, 2, 4, 8],
+                    help="slices per Top-K fold (8 = production strided "
+                         "fold; pair with --rescore-pool)")
     ap.add_argument("--rescore-pool", type=int, default=None,
                     help="exact host CSR re-ranking of the top-N device "
                          "candidates (restores ~exact ranking for the "
@@ -80,12 +90,16 @@ def main(argv=None):
         if args.debug:
             for r in report:
                 print(r)
-        print(f"autotune: codec={cfg.query_codec} fold_tile={cfg.fold_tile} "
-              f"rescore_pool={cfg.rescore_pool}")
+        print(f"autotune: codec={cfg.query_codec} "
+              f"layout={cfg.fused_layout} quantum={cfg.width_quantum} "
+              f"fold_tile={cfg.fold_tile} rescore_pool={cfg.rescore_pool}")
     else:
         cfg = TopKSpMVConfig(
-            k=args.k, lane_k=args.lane_k, layout=args.layout,
+            k=args.k, lane_k=args.lane_k,
             query_codec=args.codec,
+            fused_layout=args.fused_layout,
+            width_quantum=args.width_quantum,
+            fold_tile=args.fold_tile,
             max_cols=max(128, -(-coo.num_cols // 128) * 128),
             # pattern matrices (-v: all values 1) are tie-heavy: keep the
             # reference's exact first-of-ties argmin semantics for them

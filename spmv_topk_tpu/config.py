@@ -92,7 +92,10 @@ class TopKSpMVConfig:
     chunk_sublanes: int = 8
     block_sublanes: int = 512
     sigma_sort: bool = True
-    layout: str = "bucketed"        # "bucketed" (static-W, fast) | "streamed"
+    layout: str = "bucketed"        # the one production format (the
+    #   round-1 "streamed" per-chunk-metadata layout was removed in
+    #   round 5 — ~2.5x slower on v5e, second-class API coverage; its
+    #   exact-semantics oracle survives in ops/xla_ref.py)
     fused_block_sublanes: int = 1024  # uniform DMA block of the fused kernel
     width_quantum: int = 8          # 8, 4, 2 or 1: slice-width granularity
     #   (finer quanta cut width-quantization padding; slices of a
@@ -155,6 +158,11 @@ class TopKSpMVConfig:
             object.__setattr__(
                 self, "tie_safe_topk",
                 self.query_codec == "h16" and not self.rescore_pool)
+        if self.layout != "bucketed":
+            raise ValueError(
+                f"unknown layout {self.layout!r}: 'bucketed' is the one "
+                "production format (the 'streamed' layout was removed; "
+                "its oracle lives in ops/xla_ref.py)")
         if self.max_cols % LANES != 0:
             raise ValueError(f"max_cols must be a multiple of {LANES}")
         if self.block_sublanes % self.chunk_sublanes != 0:
@@ -177,6 +185,13 @@ class TopKSpMVConfig:
             raise ValueError("fold_tile must be 1, 2, 4 or 8")
         if self.fused_layout not in ("slice", "octet"):
             raise ValueError("fused_layout must be 'slice' or 'octet'")
+        if (self.fused_layout == "octet" and self.num_partitions > 1
+                and not self.sigma_sort):
+            raise ValueError(
+                "fused_layout='octet' with num_partitions>1 requires "
+                "sigma_sort=True: the shared partition skeleton cannot "
+                "hold duplicate bucket widths in the transposed stream "
+                "(unsorted rows produce positional same-width buckets)")
         if self.fused_layout == "octet" and self.fold_tile in (2, 4):
             raise ValueError(
                 "the octet layout's fold is intrinsically top-2-of-8 "

@@ -1166,7 +1166,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                                 sums_span_sub(q0, ng, j * W, W // S)):
                             fold(q0 + dq, s, t, nreal, pb.slice_base)
 
-                if spb * max(W // S, 1) * Q <= 256:
+                if spb * max(W // S, 1) * Q <= _BATCH_UNROLL_LIMIT:
                     for j in range(spb):
                         do_slice(j)
                 else:
@@ -1222,7 +1222,7 @@ def _fused_kernel_batch(nreal_ref, tab_ref, words_ref, topv_ref, topt_ref,
                                      nreal, pb.slice_base)
 
                 nper = spb // Ps
-                if nper * Pc * Q <= 256:
+                if nper * Pc * Q <= _BATCH_UNROLL_LIMIT:
                     for p in range(nper):
                         do_period(p)
                 else:

@@ -33,15 +33,24 @@ from .ops.gold import topk_exact
 
 def _candidates(k: int, max_cols: int, pool: int):
     """Candidate configs, fastest-first by the measured v5e ladder
-    (docs/TUNING.md §3: h16 159-181 > i4s 105-139 > i8s/f32 84-96)."""
+    (docs/TUNING.md §3: h16 159-181 > i4s 105-139 > i8s/f32 84-96; the
+    octet transposed layout at quantum-1 adds ~5% over slice and is the
+    bench.py headline config — experiments/octet_lab.py)."""
     cands = []
     if max_cols <= 1024:
-        cands.append(dict(query_codec="h16", fold_tile=8, rescore_pool=pool))
-        cands.append(dict(query_codec="h16", fold_tile=1, rescore_pool=pool))
+        cands.append(dict(query_codec="h16", fold_tile=8, rescore_pool=pool,
+                          fused_layout="octet", width_quantum=1))
+        cands.append(dict(query_codec="h16", fold_tile=8, rescore_pool=pool,
+                          fused_layout="slice", width_quantum=2))
+        cands.append(dict(query_codec="h16", fold_tile=1, rescore_pool=pool,
+                          fused_layout="octet", width_quantum=1))
     if max_cols <= 2048:
-        cands.append(dict(query_codec="i4s", fold_tile=1, rescore_pool=pool))
-    cands.append(dict(query_codec="i8s", fold_tile=1, rescore_pool=None))
-    cands.append(dict(query_codec="f32", fold_tile=1, rescore_pool=None))
+        cands.append(dict(query_codec="i4s", fold_tile=1, rescore_pool=pool,
+                          fused_layout="slice", width_quantum=2))
+    cands.append(dict(query_codec="i8s", fold_tile=1, rescore_pool=None,
+                      fused_layout="slice", width_quantum=2))
+    cands.append(dict(query_codec="f32", fold_tile=1, rescore_pool=None,
+                      fused_layout="slice", width_quantum=2))
     return cands
 
 
@@ -109,11 +118,13 @@ def autotune(
 
     best = None
     for cand in cands:
-        overrides = dict(cand, k=k, max_cols=max_cols, width_quantum=2)
+        overrides = dict(cand, k=k, max_cols=max_cols)
         cfg = (dataclasses.replace(base, **overrides) if base
                else TopKSpMVConfig(**overrides))
         entry = dict(codec=cfg.query_codec, fold_tile=cfg.fold_tile,
-                     rescore_pool=cfg.rescore_pool)
+                     rescore_pool=cfg.rescore_pool,
+                     fused_layout=cfg.fused_layout,
+                     width_quantum=cfg.width_quantum)
         try:
             eng = TopKSpMV(sample, cfg)
         except Exception as e:  # e.g. codec/geometry constraint
@@ -158,8 +169,11 @@ def autotune(
         else:
             m = MEASURED.get(cfg.query_codec,
                              dict(gnnz_core=90.0))  # f32 ~ i8s rate
-            # rank by the measured ladder; fold_tile=1 costs ~4.6%
+            # rank by the measured ladder; fold_tile=1 costs ~4.6%, the
+            # octet layout gains ~5.3% over slice (octet_lab.py)
             rate = m["gnnz_core"] * (1.0 if cfg.fold_tile > 1 else 0.954)
+            if cfg.fused_layout == "octet":
+                rate *= 1.053
             entry["rank_key"] = round(1e3 / rate, 4)
             entry["ranked_by"] = "measured v5e ladder (measure=False)"
 

@@ -55,8 +55,12 @@ eng = ShardedBucketedTopKSpMV(local, cfg, mesh=mesh,
 idx, vals = map(np.asarray, eng.query(q))
 precision = len(set(gi.tolist()) & set(idx.tolist())) / 16
 
-# Rescore path: per-host CSR slice + cross-process candidate merge.
+# Rescore path: per-host CSR slice + cross-process candidate merge, on
+# the PRODUCTION octet layout (h16 + quantum-1) so the octet skeleton
+# exchange (stride + width slots) runs across real processes.
 cfg2 = TopKSpMVConfig(k=16, lane_k=8, num_partitions=1, max_cols=256,
+                      query_codec="h16", fused_layout="octet",
+                      width_quantum=1, fused_block_sublanes=64,
                       block_sublanes=32, rescore_pool=64)
 eng2 = ShardedBucketedTopKSpMV(local, cfg2, mesh=mesh,
                                local_rows=(lo, coo.num_rows))

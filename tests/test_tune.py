@@ -35,6 +35,19 @@ def test_autotune_picks_h16_with_rescore():
     assert len(set(np.asarray(idx).tolist()) & set(gi.tolist())) / 50 >= 0.98
 
 
+def test_autotune_headlines_octet():
+    """The winning config is the bench.py headline: octet transposed
+    layout at width_quantum=1 with the strided fold (VERDICT r4 #4)."""
+    coo = create_sparse_matrix(3000, 512, 10, "gamma", seed=35)
+    cfg, report = autotune(coo, k=50, target_precision=0.98,
+                           measure=False, num_queries=2, base=SMALL,
+                           codecs=("h16",))
+    assert cfg.fused_layout == "octet"
+    assert cfg.width_quantum == 1
+    assert cfg.fold_tile == 8
+    assert all(r.get("fused_layout") for r in report if "codec" in r)
+
+
 def test_autotune_unreachable_target_falls_back_exact():
     coo = create_sparse_matrix(1500, 256, 8, "uniform", seed=31)
     cfg, report = autotune(coo, k=20, target_precision=1.01,  # impossible
