@@ -7,13 +7,27 @@ chip — the SAME nnz scale as the reference's 2x10^8-nnz single-card
 headline (plot_roofline.py:201-209; best published number: 76.9 GNNZ/s
 at 20-bit on 32 cores @ 225 MHz).
 
+Headline config (autotune's pick for this corpus, docs/TUNING.md):
+octet (slice-transposed) fused layout at width_quantum=1 — the kernel
+body is pure `acc += decode(chunk)` with no sublane folds or boundary
+splits, and quantum-1 widths stream at floor padding — with the h16
+codec (TWO nnz per 32-bit word) and exact host rescoring of the top-400
+pool. The reference likewise headlines its best shipped build (20-bit
+B=15, plot_roofline.py:362-364).
+
 Timing protocol: the per-query kernel is iterated over a stream of
 distinct queries inside one jitted lax.scan; throughput is taken from the
 slope between a short and a long stream so dispatch/tunnel overhead
 cancels (wall-clock of a single dispatch is meaningless through the axon
 tunnel). Each measurement is forced with np.asarray.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Timeout-proofing (the round-4 lesson — BENCH_r04 timed out with zero
+output): the PRIMARY headline JSON line is printed and flushed the
+moment the single-query slope exists; the batch/dense sections only ever
+APPEND a second, superset JSON line. Cold-start costs are cached on
+disk: the corpus in .bench_cache/*.npz and the packed engine via
+TopKSpMV.save()/load(), so a warm run reaches first measurement in well
+under two minutes (plus the .jax_cache executable cache for compiles).
 """
 
 import json
@@ -23,7 +37,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +49,7 @@ enable_compilation_cache()
 from spmv_topk_tpu.api import TopKSpMV
 from spmv_topk_tpu.config import LANES, TopKSpMVConfig
 from spmv_topk_tpu.formats import create_sparse_matrix, create_query_batch
-from spmv_topk_tpu.ops.gold import topk_exact
+from spmv_topk_tpu.formats.coo import CooMatrix
 
 BASELINE_GNNZ = 76.9  # FPGA 32 cores, 20-bit fixed (BASELINE.md)
 
@@ -45,33 +59,81 @@ NUM_ROWS = int(os.environ.get("SPMV_BENCH_ROWS", 10_000_000))
 NUM_COLS = int(os.environ.get("SPMV_BENCH_COLS", 1024))
 AVG_DEG = 20
 K = 100
+# octet layout admits width_quantum=1 at zero kernel cost (whole-chunk
+# streaming for ANY width) — floor padding. SPMV_BENCH_LAYOUT=slice
+# reproduces the round-3 slice-layout headline for A/B.
+LAYOUT = os.environ.get("SPMV_BENCH_LAYOUT", "octet")
+CACHE_DIR = os.environ.get("SPMV_BENCH_CACHE",
+                           os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), ".bench_cache"))
+
+
+def _corpus() -> tuple[CooMatrix, float, bool]:
+    """Headline corpus, disk-cached: (coo, seconds, was_cached)."""
+    key = f"corpus_{NUM_ROWS}_{NUM_COLS}_{AVG_DEG}_gamma_s1.npz"
+    path = os.path.join(CACHE_DIR, key)
+    t0 = time.time()
+    if os.path.exists(path):
+        z = np.load(path)
+        coo = CooMatrix(z["rows"], z["cols"], z["vals"],
+                        int(z["dims"][0]), int(z["dims"][1]))
+        coo._sorted = True  # generated row-major; invariant of the cache
+        return coo, time.time() - t0, True
+    coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:  # uncompressed: load speed is the point
+        np.savez(fh, rows=coo.rows, cols=coo.cols, vals=coo.vals,
+                 dims=np.array([coo.num_rows, coo.num_cols], np.int64))
+    os.replace(tmp, path)
+    return coo, time.time() - t0, False
+
+
+def _engine(coo: CooMatrix, cfg: TopKSpMVConfig):
+    """Packed engine, disk-cached via save()/load: (eng, secs, cached)."""
+    tag = (f"eng_{NUM_ROWS}_{NUM_COLS}_{AVG_DEG}_{cfg.fused_layout}"
+           f"_q{cfg.width_quantum}_{cfg.query_codec}_f{cfg.fold_tile}"
+           f"_b{cfg.fused_block_sublanes}_v3.npz")
+    path = os.path.join(CACHE_DIR, tag)
+    t0 = time.time()
+    if os.path.exists(path):
+        try:
+            eng = TopKSpMV.load(path, matrix=coo)
+            return eng, time.time() - t0, True
+        except Exception as e:  # stale snapshot format: repack
+            print(f"engine snapshot reload failed ({e!r}); repacking",
+                  file=sys.stderr)
+    eng = TopKSpMV(coo, cfg)
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = path + ".tmp"
+        eng.save(tmp)
+        os.replace(tmp, path)
+    except Exception as e:  # disk-full etc. must not kill the bench
+        print(f"engine snapshot save skipped: {e!r}", file=sys.stderr)
+    return eng, time.time() - t0, False
 
 
 def main():
-    t0 = time.time()
-    coo = create_sparse_matrix(NUM_ROWS, NUM_COLS, AVG_DEG, "gamma", seed=1)
-    # h16 codec: TWO nnz per 32-bit word (10-bit col + 6-bit value
-    # halves, int4x8 query table) — half the HBM bytes per nnz, the TPU
-    # analog of the reference's 20-bit BSCSR raising B from 11 to 15
-    # (types.hpp:71-73). Exact ranking is restored by host CSR rescoring
-    # of the top-400 candidate pool — the same split as the reference,
-    # whose headline times the kernel sweep and merges/checks on the
-    # host (host_spmv_bscsr.cpp:323-352, read_result :399-448).
-    # quantum-2 widths cut padding 0.632 -> 0.605 words/nnz at 1024-sublane
-    # blocks (512 blocks pad less but lose more to grid overhead:
-    # experiments/cfg_sweep.py measured q2/1024 fastest end-to-end)
-    # fold_tile=8: one top-2 Top-K fold per 8 slices instead of 8 per-slice
-    # argmin replacements (LIMITED_FINISHED_ROWS analog, types.hpp:77) —
-    # the rescore pool absorbs the rare 3-per-(lane,tile) collisions.
+    t_start = time.time()
+    time_budget_s = float(os.environ.get("SPMV_BENCH_BUDGET_S", "2100"))
+    coo, gen_s, corpus_cached = _corpus()
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
-                         query_codec="h16", width_quantum=2,
+                         query_codec="h16",
+                         fused_layout=LAYOUT,
+                         width_quantum=1 if LAYOUT == "octet" else 2,
                          fused_block_sublanes=1024, fold_tile=8,
                          rescore_pool=400)
-    eng = TopKSpMV(coo, cfg)
-    pack_s = time.time() - t0
+    eng, pack_s, eng_cached = _engine(coo, cfg)
 
-    from spmv_topk_tpu.ops.kernel import (topk_spmv_fused_batch_device,
-                                          topk_spmv_fused_device)
+    from spmv_topk_tpu.ops.kernel import (
+        topk_spmv_fused_batch_device, topk_spmv_fused_batch_octet_device,
+        topk_spmv_fused_device, topk_spmv_fused_octet_device)
+
+    octet = cfg.fused_layout == "octet"
+    dev_fn = topk_spmv_fused_octet_device if octet else topk_spmv_fused_device
+    batch_dev_fn = (topk_spmv_fused_batch_octet_device if octet
+                    else topk_spmv_fused_batch_device)
 
     def stream_fn(n_queries: int):
         # matrix arrays are explicit jit arguments: closed-over device
@@ -85,7 +147,7 @@ def main():
         @jax.jit
         def run(words, nreal, tabs):
             def step(carry, tab):
-                topv, topt = topk_spmv_fused_device(
+                topv, topt = dev_fn(
                     words, tab, nreal, cfg=cfg, plan=eng.fused.plan,
                     block_sublanes=eng.fused.block_sublanes,
                     num_blocks=eng.fused.num_blocks,
@@ -129,12 +191,13 @@ def main():
     t_compile = time.time()
     short(); long_(); fs(); fl()  # compile + warm
     compile_s = time.time() - t_compile
+
     # Interleaved slope pairs: chip/tunnel contention drifts over minutes,
     # so each slope uses adjacent short/long runs; median rejects
-    # outliers. Reproducibility guard (VERDICT r1 weak #2): when the
-    # inter-rep spread exceeds 10% of the median, keep adding rounds (the
-    # tunnel was congested) up to a cap, and report every rep so a
-    # divergent headline run is diagnosable from the JSON alone.
+    # outliers. Reproducibility guard: when the inter-rep spread exceeds
+    # 10% of the median, keep adding rounds (the tunnel was congested) up
+    # to a cap, and report every rep so a divergent headline run is
+    # diagnosable from the JSON alone.
 
     def rep():
         k = (_timed(long_) - _timed(short)) / 300.0
@@ -146,7 +209,7 @@ def main():
         s = np.sort([k for k, _ in reps])
         med = float(np.median(s))
         iqr = float(s[(3 * len(s)) // 4] - s[len(s) // 4])
-        if iqr <= 0.10 * med:
+        if iqr <= 0.10 * med or time.time() - t_start > time_budget_s * 0.6:
             break
         reps += [rep() for _ in range(6)]
     slopes = [k for k, _ in reps]
@@ -158,6 +221,65 @@ def main():
     per_sweep_floor = float(np.median([f for _, f in reps]))
     pct_of_floor = float(np.median([f / k for k, f in reps])) * 100.0
     stream_floor_gbps = eng.hbm_bytes / per_sweep_floor / 1e9
+
+    gnnz = coo.nnz / per_query / 1e9
+    hbm_gbps = eng.hbm_bytes / per_query / 1e9
+
+    # correctness spot check (differential oracle, reference protocol) —
+    # exact gold straight off the engine's host CSR (already built for
+    # the rescore stage; avoids a second 2+ GB scipy conversion)
+    q = create_query_batch(1, NUM_COLS, seed=3)[0]
+    gold_scores = eng._scipy_csr @ q
+    gpart = np.argpartition(-gold_scores, K - 1)[:K]
+    gi = gpart[np.argsort(-gold_scores[gpart], kind="stable")]
+    ki, _ = map(np.asarray, eng.query(q))          # rescored (production)
+    pool_i = np.asarray(eng.query(q, k=cfg.rescore_pool, rescore_pool=0)[0])
+    rescore_ms = min(  # host-side cost of re-ranking the pool (warm)
+        _timed(lambda: eng._rescore(pool_i, q, K)) for _ in range(10)
+    ) * 1e3
+    raw_i, _ = map(np.asarray, eng.query(q, rescore_pool=0))
+    precision = len(set(gi.tolist()) & set(ki.tolist())) / K
+    precision_raw = len(set(gi.tolist()) & set(raw_i.tolist())) / K
+
+    result = {
+        "metric": "topk_spmv_nnz_throughput",
+        "value": round(gnnz, 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(gnnz / BASELINE_GNNZ, 3),
+        "fused_layout": cfg.fused_layout,
+        "per_query_ms": round(per_query * 1e3, 3),
+        "hbm_gbps": round(hbm_gbps, 1),
+        "stream_floor_gbps": round(stream_floor_gbps, 1),
+        "pct_of_stream_floor": round(pct_of_floor, 1),
+        # the binding ceiling for single-query h16 is the VPU decode
+        # envelope (~17-19 vector ops per 2048-nnz chunk at ~2 ops/cycle
+        # ~= 226 Gnnz/s for the slice layout; the octet body sheds the
+        # fold/split ops — counted and lab-measured in ROOFLINE.md §2),
+        # not the DMA roofline; report both scores
+        "vpu_envelope_gnnz": 226.0,
+        "pct_of_vpu_envelope": round(gnnz / 226.0 * 100, 1),
+        "precision_at_100": precision,
+        "precision_raw_h16": precision_raw,
+        "rescore_host_ms": round(rescore_ms, 3),
+        "per_query_e2e_ms": round(per_query * 1e3 + rescore_ms, 3),
+        "nnz": coo.nnz,
+        "padding_ratio": round(eng.fused.padding_ratio, 3),
+        "corpus_seconds": round(gen_s, 1),
+        "corpus_cached": corpus_cached,
+        "pack_seconds": round(pack_s, 1),
+        "engine_cached": eng_cached,
+        "compile_seconds": round(compile_s, 1),
+        "slope_reps_ms": [round(s * 1e3, 3) for s in slopes],
+        "slope_iqr_pct": round(slope_spread * 100, 1),
+        "backend": jax.default_backend(),
+    }
+    # PRIMARY line out the door before any tertiary work can time out.
+    print(json.dumps(result), flush=True)
+    _write_latest(result)
+
+    # ---- tertiary sections: batch sparse + dense MXU ------------------
+    # Each is fenced (budget + exception) so it can only ever ADD fields;
+    # the final line is a superset of the primary line.
 
     # secondary: grouped multi-query kernel (the serving batch path) —
     # each matrix block is decoded once for the whole group.
@@ -171,7 +293,7 @@ def main():
         @jax.jit
         def go(words, nreal, gs):
             def step(c, g):
-                tv, _ = topk_spmv_fused_batch_device(
+                tv, _ = batch_dev_fn(
                     words, g, nreal, cfg=cfg,
                     plan=eng.fused.plan,
                     block_sublanes=eng.fused.block_sublanes,
@@ -182,13 +304,6 @@ def main():
 
         return lambda: np.asarray(go(eng._fwords, eng._fnreal, groups))
 
-    # The batch and dense sections below are tertiary: they must never
-    # cost the primary headline. Each is skipped when the run is already
-    # over budget (remote compiles through the tunnel have been measured
-    # at 20-200+ s each depending on tunnel load) and fenced so an
-    # OOM/compile failure degrades to null fields in the JSON.
-    time_budget_s = float(os.environ.get("SPMV_BENCH_BUDGET_S", "2100"))
-
     # group 32: the measured sweet spot of the sparse batch path on this
     # corpus (201 / 236.8 / 258.5 Gnnz/s per query at groups 16 / 32 / 64
     # — experiments/batch_lab.py + round-3 A/B jobs); 64 only adds ~9%
@@ -198,7 +313,7 @@ def main():
     batch_e2e = None
     batch_e2e_raw = None
     try:
-        if time.time() - t0 < time_budget_s:
+        if time.time() - t_start < time_budget_s:
             bs, bl = batch_fn(2, QB), batch_fn(12, QB)
             bs(); bl()
             bslopes = sorted((_timed(bl) - _timed(bs)) / 10.0 / QB
@@ -206,11 +321,11 @@ def main():
             per_query_batch = bslopes[len(bslopes) // 2]
             # e2e batch serving incl. the THREADED host rescore
             # (api.query_batch overlaps group g's rescore with group
-            # g+1's sweep; VERDICT r3 #6). Compare against the same
-            # wall protocol with rescore off: the difference is the
-            # rescore overhead (the wall numbers themselves include
-            # per-group tunnel dispatch, which the slope numbers above
-            # cancel — compare e2e vs e2e_raw, not e2e vs slope).
+            # g+1's sweep). Compare against the same wall protocol with
+            # rescore off: the difference is the rescore overhead (the
+            # wall numbers themselves include per-group tunnel dispatch,
+            # which the slope numbers above cancel — compare e2e vs
+            # e2e_raw, not e2e vs slope).
             qs = create_query_batch(QB * 8, NUM_COLS, seed=6)
             eng.query_batch(qs[:QB], group_size=QB)              # warm
             eng.query_batch(qs[:QB], group_size=QB, rescore_pool=0)
@@ -223,6 +338,20 @@ def main():
                 for _ in range(3)) / len(qs)
     except Exception as e:  # pragma: no cover - hardware-path guard
         print(f"batch section skipped: {e!r}", file=sys.stderr)
+
+    result.update({
+        "batch32_gnnz_per_query": (
+            round(coo.nnz / per_query_batch / 1e9, 2)
+            if per_query_batch else None),
+        "batch32_ms_per_query": (
+            round(per_query_batch * 1e3, 3) if per_query_batch else None),
+        "batch32_e2e_ms_per_query": (
+            round(batch_e2e * 1e3, 3) if batch_e2e else None),
+        "batch32_rescore_overhead_pct": (
+            round((batch_e2e / batch_e2e_raw - 1) * 100, 1)
+            if batch_e2e and batch_e2e_raw else None),
+    })
+    _write_latest(result)
 
     # tertiary: dense-MXU engine (matmul sweep + approx_max_k) — the
     # high-throughput serving mode when the dense form fits HBM. At this
@@ -243,7 +372,7 @@ def main():
     # raw dense mode (no rescore) so the reported dense precision
     # matches the timed kernel path
     deng = None
-    if time.time() - t0 < time_budget_s:
+    if time.time() - t_start < time_budget_s:
         for dt in ("bf16", "int8"):
             try:
                 deng = DenseTopKSpMV(coo,
@@ -303,58 +432,13 @@ def main():
             per_query_dense256 = d6[len(d6) // 2]
             di, _ = map(np.asarray, deng.query_batch(
                 create_query_batch(1, NUM_COLS, seed=3)))
+            precision_dense = len(set(gi.tolist())
+                                  & set(di[0].tolist())) / K
         except Exception as e:  # pragma: no cover - hardware-path guard
             print(f"dense section skipped: {e!r}", file=sys.stderr)
-            deng = None
             per_query_dense = per_query_dense256 = None
 
-
-    gnnz = coo.nnz / per_query / 1e9
-    hbm_gbps = eng.hbm_bytes / per_query / 1e9
-
-    # correctness spot check (differential oracle, reference protocol)
-    q = create_query_batch(1, NUM_COLS, seed=3)[0]
-    ki, _ = map(np.asarray, eng.query(q))          # rescored (production)
-    pool_i = np.asarray(eng.query(q, k=400, rescore_pool=0)[0])
-    rescore_ms = min(  # host-side cost of re-ranking the pool (warm)
-        _timed(lambda: eng._rescore(pool_i, q, K)) for _ in range(10)
-    ) * 1e3
-    raw_i, _ = map(np.asarray, eng.query(q, rescore_pool=0))
-    gi, _ = topk_exact(coo, q, K)
-    precision = len(set(gi.tolist()) & set(ki.tolist())) / K
-    precision_raw = len(set(gi.tolist()) & set(raw_i.tolist())) / K
-    if deng is not None:
-        precision_dense = len(set(gi.tolist()) & set(di[0].tolist())) / K
-
-    print(json.dumps({
-        "metric": "topk_spmv_nnz_throughput",
-        "value": round(gnnz, 2),
-        "unit": "Gnnz/s",
-        "vs_baseline": round(gnnz / BASELINE_GNNZ, 3),
-        "per_query_ms": round(per_query * 1e3, 3),
-        "hbm_gbps": round(hbm_gbps, 1),
-        "stream_floor_gbps": round(stream_floor_gbps, 1),
-        "pct_of_stream_floor": round(pct_of_floor, 1),
-        # the binding ceiling for single-query h16 is the VPU decode
-        # envelope (~17-19 vector ops per 2048-nnz chunk at ~2 ops/cycle
-        # ~= 226 Gnnz/s — counted and lab-measured in ROOFLINE.md §2),
-        # not the DMA roofline; report both scores
-        "vpu_envelope_gnnz": 226.0,
-        "pct_of_vpu_envelope": round(gnnz / 226.0 * 100, 1),
-        "precision_at_100": precision,
-        "precision_raw_h16": precision_raw,
-        "rescore_host_ms": round(rescore_ms, 3),
-        "per_query_e2e_ms": round(per_query * 1e3 + rescore_ms, 3),
-        "batch32_gnnz_per_query": (
-            round(coo.nnz / per_query_batch / 1e9, 2)
-            if per_query_batch else None),
-        "batch32_ms_per_query": (
-            round(per_query_batch * 1e3, 3) if per_query_batch else None),
-        "batch32_e2e_ms_per_query": (
-            round(batch_e2e * 1e3, 3) if batch_e2e else None),
-        "batch32_rescore_overhead_pct": (
-            round((batch_e2e / batch_e2e_raw - 1) * 100, 1)
-            if batch_e2e and batch_e2e_raw else None),
+    result.update({
         "dense_dtype": dense_dtype,
         "dense_batch64_gnnz_per_query": (
             round(coo.nnz / per_query_dense / 1e9, 2)
@@ -368,14 +452,21 @@ def main():
             round(per_query_dense256 * 1e6, 1)
             if per_query_dense256 else None),
         "dense_precision_at_100": precision_dense,
-        "nnz": coo.nnz,
-        "padding_ratio": round(eng.fused.padding_ratio, 3),
-        "pack_seconds": round(pack_s, 1),
-        "compile_seconds": round(compile_s, 1),
-        "slope_reps_ms": [round(s * 1e3, 3) for s in slopes],
-        "slope_iqr_pct": round(slope_spread * 100, 1),
-        "backend": jax.default_backend(),
-    }))
+    })
+    # Final line: the same metric with every section's fields attached.
+    print(json.dumps(result), flush=True)
+    _write_latest(result)
+
+
+def _write_latest(result: dict) -> None:
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "bench_latest.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except Exception:
+        pass
 
 
 def _timed(fn):
