@@ -93,7 +93,7 @@ def _engine(coo: CooMatrix, cfg: TopKSpMVConfig):
     """Packed engine, disk-cached via save()/load: (eng, secs, cached)."""
     tag = (f"eng_{NUM_ROWS}_{NUM_COLS}_{AVG_DEG}_{cfg.fused_layout}"
            f"_q{cfg.width_quantum}_{cfg.query_codec}_f{cfg.fold_tile}"
-           f"_b{cfg.fused_block_sublanes}_v3.npz")
+           f"_b{cfg.fused_block_sublanes}_r{cfg.rescore_pool}_v4.npz")
     path = os.path.join(CACHE_DIR, tag)
     t0 = time.time()
     if os.path.exists(path):
@@ -127,13 +127,11 @@ def main():
     eng, pack_s, eng_cached = _engine(coo, cfg)
 
     from spmv_topk_tpu.ops.kernel import (
-        topk_spmv_fused_batch_device, topk_spmv_fused_batch_octet_device,
+        topk_spmv_fused_batch_device,
         topk_spmv_fused_device, topk_spmv_fused_octet_device)
 
     octet = cfg.fused_layout == "octet"
     dev_fn = topk_spmv_fused_octet_device if octet else topk_spmv_fused_device
-    batch_dev_fn = (topk_spmv_fused_batch_octet_device if octet
-                    else topk_spmv_fused_batch_device)
 
     def stream_fn(n_queries: int):
         # matrix arrays are explicit jit arguments: closed-over device
@@ -282,27 +280,45 @@ def main():
     # the final line is a superset of the primary line.
 
     # secondary: grouped multi-query kernel (the serving batch path) —
-    # each matrix block is decoded once for the whole group.
+    # each matrix block is decoded once for the whole group. The batch
+    # engine is the SLICE layout even when the headline is octet: the
+    # octet batch kernel's fori-over-octets body with dynamic VMEM
+    # offsets defeats Mosaic (measured 118 vs 237 Gnnz/s per query at
+    # group 32 on this corpus, and pathological compile times) — see
+    # ROOFLINE.md §"octet batch". Trace-time configs make running two
+    # variants free, like the reference's per-workload build points
+    # (test_spmv_topk.py:42-47).
+    if LAYOUT == "slice":
+        beng, bcfg = eng, cfg
+        batch_pack_s, batch_cached = 0.0, True
+    else:
+        bcfg = TopKSpMVConfig(
+            k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
+            query_codec="h16", fused_layout="slice", width_quantum=2,
+            fused_block_sublanes=1024, fold_tile=8, rescore_pool=400)
+        beng, batch_pack_s, batch_cached = _engine(coo, bcfg)
+
     def batch_fn(n_groups: int, Q: int):
         qs = create_query_batch(Q * n_groups, NUM_COLS, seed=4)
         groups = jnp.stack([
-            jnp.stack([eng._table(q)[0] for q in qs[i * Q:(i + 1) * Q]])
+            jnp.stack([beng._table(q)[0] for q in qs[i * Q:(i + 1) * Q]])
             for i in range(n_groups)
         ])
 
         @jax.jit
         def go(words, nreal, gs):
             def step(c, g):
-                tv, _ = batch_dev_fn(
-                    words, g, nreal, cfg=cfg,
-                    plan=eng.fused.plan,
-                    block_sublanes=eng.fused.block_sublanes,
-                    num_blocks=eng.fused.num_blocks, codec=cfg.query_codec)
+                tv, _ = topk_spmv_fused_batch_device(
+                    words, g, nreal, cfg=bcfg,
+                    plan=beng.fused.plan,
+                    block_sublanes=beng.fused.block_sublanes,
+                    num_blocks=beng.fused.num_blocks,
+                    codec=bcfg.query_codec)
                 return c, tv.max()
             _, outs = jax.lax.scan(step, 0, gs)
             return outs
 
-        return lambda: np.asarray(go(eng._fwords, eng._fnreal, groups))
+        return lambda: np.asarray(go(beng._fwords, beng._fnreal, groups))
 
     # group 32: the measured sweet spot of the sparse batch path on this
     # corpus (201 / 236.8 / 258.5 Gnnz/s per query at groups 16 / 32 / 64
@@ -327,19 +343,28 @@ def main():
             # which the slope numbers above cancel — compare e2e vs
             # e2e_raw, not e2e vs slope).
             qs = create_query_batch(QB * 8, NUM_COLS, seed=6)
-            eng.query_batch(qs[:QB], group_size=QB)              # warm
-            eng.query_batch(qs[:QB], group_size=QB, rescore_pool=0)
+            beng.query_batch(qs[:QB], group_size=QB)             # warm
+            beng.query_batch(qs[:QB], group_size=QB, rescore_pool=0)
+            # force results inside the timed lambda: query_batch returns
+            # async jax arrays, and an unforced raw path times only the
+            # dispatch (the round-5 cold run reported a bogus 1942%
+            # rescore overhead this way)
             batch_e2e = min(_timed(
-                lambda: eng.query_batch(qs, group_size=QB))
+                lambda: np.asarray(
+                    beng.query_batch(qs, group_size=QB)[1]))
                 for _ in range(3)) / len(qs)
             batch_e2e_raw = min(_timed(
-                lambda: eng.query_batch(qs, group_size=QB,
-                                        rescore_pool=0))
+                lambda: np.asarray(
+                    beng.query_batch(qs, group_size=QB,
+                                    rescore_pool=0)[1]))
                 for _ in range(3)) / len(qs)
     except Exception as e:  # pragma: no cover - hardware-path guard
         print(f"batch section skipped: {e!r}", file=sys.stderr)
 
     result.update({
+        "batch_engine_layout": bcfg.fused_layout,
+        "batch_pack_seconds": round(batch_pack_s, 1),
+        "batch_engine_cached": batch_cached,
         "batch32_gnnz_per_query": (
             round(coo.nnz / per_query_batch / 1e9, 2)
             if per_query_batch else None),

@@ -31,19 +31,30 @@ from .formats.synthetic import create_sample_vector
 from .ops.gold import topk_exact
 
 
-def _candidates(k: int, max_cols: int, pool: int):
+def _candidates(k: int, max_cols: int, pool: int, expected_batch: int = 1):
     """Candidate configs, fastest-first by the measured v5e ladder
-    (docs/TUNING.md §3: h16 159-181 > i4s 105-139 > i8s/f32 84-96; the
-    octet transposed layout at quantum-1 adds ~5% over slice and is the
-    bench.py headline config — experiments/octet_lab.py)."""
+    (docs/TUNING.md §3: h16 159-181 > i4s 105-139 > i8s/f32 84-96).
+
+    Layout depends on the workload: single-query headlines the octet
+    transposed stream at quantum-1 (lowest padding, 8x faster compiles,
+    parity speed — bench.py); batch serving (expected_batch >= 16) keeps
+    the slice layout, whose multi-query kernel measured 2x the octet
+    batch kernel's rate (237 vs 118 Gnnz/s/query at group 32 on the 10M
+    corpus — the octet fori-over-octets body defeats Mosaic)."""
+    h16_layout = (dict(fused_layout="slice", width_quantum=2)
+                  if expected_batch >= 16
+                  else dict(fused_layout="octet", width_quantum=1))
+    alt_layout = (dict(fused_layout="octet", width_quantum=1)
+                  if expected_batch >= 16
+                  else dict(fused_layout="slice", width_quantum=2))
     cands = []
     if max_cols <= 1024:
         cands.append(dict(query_codec="h16", fold_tile=8, rescore_pool=pool,
-                          fused_layout="octet", width_quantum=1))
+                          **h16_layout))
         cands.append(dict(query_codec="h16", fold_tile=8, rescore_pool=pool,
-                          fused_layout="slice", width_quantum=2))
+                          **alt_layout))
         cands.append(dict(query_codec="h16", fold_tile=1, rescore_pool=pool,
-                          fused_layout="octet", width_quantum=1))
+                          **h16_layout))
     if max_cols <= 2048:
         cands.append(dict(query_codec="i4s", fold_tile=1, rescore_pool=pool,
                           fused_layout="slice", width_quantum=2))
@@ -112,7 +123,7 @@ def autotune(
     # capacity.py's measured ladder for the measure=False ranking
     from .bench.capacity import MEASURED
 
-    cands = _candidates(k, max_cols, pool)
+    cands = _candidates(k, max_cols, pool, expected_batch)
     if codecs is not None:  # restrict the search (faster off-TPU tuning)
         cands = [c for c in cands if c["query_codec"] in codecs]
 
@@ -169,11 +180,12 @@ def autotune(
         else:
             m = MEASURED.get(cfg.query_codec,
                              dict(gnnz_core=90.0))  # f32 ~ i8s rate
-            # rank by the measured ladder; fold_tile=1 costs ~4.6%, the
-            # octet layout gains ~5.3% over slice (octet_lab.py)
+            # rank by the measured ladder; fold_tile=1 costs ~4.6%.
+            # Octet vs slice single-query is parity on the 10M corpus
+            # (168.9 vs 168.4 — BENCH r5) with lower padding, so the
+            # layouts are not re-ranked here; _candidates orders them
+            # by workload.
             rate = m["gnnz_core"] * (1.0 if cfg.fold_tile > 1 else 0.954)
-            if cfg.fused_layout == "octet":
-                rate *= 1.053
             entry["rank_key"] = round(1e3 / rate, 4)
             entry["ranked_by"] = "measured v5e ladder (measure=False)"
 

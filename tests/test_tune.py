@@ -48,6 +48,20 @@ def test_autotune_headlines_octet():
     assert all(r.get("fused_layout") for r in report if "codec" in r)
 
 
+def test_autotune_batch_workloads_prefer_slice_layout():
+    """expected_batch >= 16 flips the h16 layout to slice: the octet
+    batch kernel measured 2x slower (118 vs 227 Gnnz/s/query at group 32,
+    BENCH r5) — ranking must reflect the serving workload."""
+    from spmv_topk_tpu.tune import _candidates
+
+    single = _candidates(50, 512, 200, expected_batch=1)
+    batch = _candidates(50, 512, 200, expected_batch=32)
+    assert single[0]["fused_layout"] == "octet"
+    assert single[0]["width_quantum"] == 1
+    assert batch[0]["fused_layout"] == "slice"
+    assert batch[0]["width_quantum"] == 2
+
+
 def test_autotune_unreachable_target_falls_back_exact():
     coo = create_sparse_matrix(1500, 256, 8, "uniform", seed=31)
     cfg, report = autotune(coo, k=20, target_precision=1.01,  # impossible
