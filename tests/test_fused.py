@@ -130,10 +130,10 @@ def test_width_quantum4_pair_fold(codec):
     """W % 8 == 4 buckets: adjacent slices share a boundary chunk that the
     kernel splits with static sublane halves; odd slices-per-block leave a
     trailing unpaired slice read against block-tail zeros."""
-    coo = create_sparse_matrix(20000, 512, 19, "uniform", seed=83)
+    coo = create_sparse_matrix(6000, 512, 19, "uniform", seed=83)
     cfg = TopKSpMVConfig(k=50, max_cols=512, query_codec=codec,
-                         width_quantum=4, block_sublanes=128,
-                         fused_block_sublanes=160)
+                         width_quantum=4, block_sublanes=64,
+                         fused_block_sublanes=80)
     eng = TopKSpMV(coo, cfg)
     assert any(p.width % 8 == 4 for p in eng.fused.plan), \
         "config should produce a quantum-4 bucket"
@@ -153,10 +153,10 @@ def test_width_quantum2_quad_fold(codec):
     chunks; the kernel decodes boundary chunks once and splits them with
     static sublane slices. Tail slices of a short block are folded
     individually."""
-    coo = create_sparse_matrix(20000, 512, 17, "uniform", seed=93)
+    coo = create_sparse_matrix(6000, 512, 17, "uniform", seed=93)
     cfg = TopKSpMVConfig(k=50, max_cols=512, query_codec=codec,
-                         width_quantum=2, block_sublanes=128,
-                         fused_block_sublanes=160,
+                         width_quantum=2, block_sublanes=64,
+                         fused_block_sublanes=80,
                          rescore_pool=200 if codec == "h16" else 0)
     eng = TopKSpMV(coo, cfg)
     assert any(p.width % 4 == 2 for p in eng.fused.plan), \
@@ -189,12 +189,12 @@ def test_width_quantum2_narrow_widths():
 
 def test_width_quantum2_batch_matches_single():
     """The multi-query kernel's quad-fold path agrees with per-query."""
-    coo = create_sparse_matrix(9000, 512, 13, "gamma", seed=97)
+    coo = create_sparse_matrix(2000, 512, 13, "gamma", seed=97)
     cfg = TopKSpMVConfig(k=25, max_cols=512, width_quantum=2,
-                         block_sublanes=128, fused_block_sublanes=160)
+                         block_sublanes=64, fused_block_sublanes=64)
     eng = TopKSpMV(coo, cfg)
     qs = np.stack([create_sample_vector(512, seed=98 + i) for i in range(3)])
-    bi, bv = map(np.asarray, eng.query_batch(qs))
+    bi, bv = map(np.asarray, eng.query_batch(qs, group_size=3))
     for n, q in enumerate(qs):
         si, sv = map(np.asarray, eng.query(q))
         np.testing.assert_array_equal(np.sort(bi[n]), np.sort(si))
@@ -252,14 +252,14 @@ def test_partitioned_batch_wide_slices():
 def test_batch_subgroup_matches_all_live():
     """batch_subgroup > 0 (sub-grouped accumulators, non-dividing size)
     returns exactly the all-live (default 0) results."""
-    coo = create_sparse_matrix(9000, 512, 13, "gamma", seed=97)
+    coo = create_sparse_matrix(2000, 512, 13, "gamma", seed=97)
     base = dict(k=25, max_cols=512, width_quantum=2,
-                block_sublanes=128, fused_block_sublanes=160)
+                block_sublanes=64, fused_block_sublanes=64)
     eng0 = TopKSpMV(coo, TopKSpMVConfig(**base))
     eng3 = TopKSpMV(coo, TopKSpMVConfig(batch_subgroup=3, **base))
     qs = np.stack([create_sample_vector(512, seed=70 + i) for i in range(5)])
-    bi0, bv0 = map(np.asarray, eng0.query_batch(qs))
-    bi3, bv3 = map(np.asarray, eng3.query_batch(qs))
+    bi0, bv0 = map(np.asarray, eng0.query_batch(qs, group_size=5))
+    bi3, bv3 = map(np.asarray, eng3.query_batch(qs, group_size=5))
     np.testing.assert_array_equal(bi0, bi3)
     np.testing.assert_allclose(bv0, bv3, atol=1e-6)
 
@@ -270,10 +270,10 @@ def test_fold_tile_top2(tile):
     clusters high-score rows into adjacent slices (degree-score
     correlation), so the flush keeps the TWO best scores per (lane, tile)
     — top-1 measured 0.88 precision@50 on exactly this workload."""
-    coo = create_sparse_matrix(30000, 512, 17, "gamma", seed=11)
+    coo = create_sparse_matrix(8000, 512, 17, "gamma", seed=11)
     cfg = TopKSpMVConfig(k=50, max_cols=512, width_quantum=2,
-                         fold_tile=tile, block_sublanes=128,
-                         fused_block_sublanes=256)
+                         fold_tile=tile, block_sublanes=64,
+                         fused_block_sublanes=128)
     eng = TopKSpMV(coo, cfg)
     for seed in (12, 13):
         q = create_sample_vector(512, seed=seed)
@@ -285,10 +285,10 @@ def test_fold_tile_top2(tile):
 
 def test_fold_tile_h16_rescore():
     """Production bench mode: h16 codec + fold_tile=8 + exact rescore."""
-    coo = create_sparse_matrix(20000, 512, 19, "gamma", seed=21)
+    coo = create_sparse_matrix(5000, 512, 19, "gamma", seed=21)
     cfg = TopKSpMVConfig(k=50, max_cols=512, query_codec="h16",
                          width_quantum=2, fold_tile=8, rescore_pool=200,
-                         block_sublanes=128, fused_block_sublanes=256)
+                         block_sublanes=64, fused_block_sublanes=128)
     eng = TopKSpMV(coo, cfg)
     q = create_sample_vector(512, seed=22)
     ki, kv = map(np.asarray, eng.query(q))
@@ -500,9 +500,10 @@ def test_save_load_partitioned_engine(tmp_path):
     """Partitioned (megacore) engines persist too (VERDICT r3 #3): the
     snapshot keeps the partition-major stream + part geometry; query,
     query_batch and scores() all work after load()."""
-    coo = create_sparse_matrix(3000, 256, 10, "gamma", seed=96)
+    coo = create_sparse_matrix(1500, 256, 10, "gamma", seed=96)
     cfg = TopKSpMVConfig(k=25, max_cols=256, num_partitions=2,
-                         width_quantum=2, fused_block_sublanes=64)
+                         width_quantum=2, block_sublanes=64,
+                         fused_block_sublanes=64)
     eng = TopKSpMV(coo, cfg)
     q = create_sample_vector(256, seed=97)
     i1, v1 = map(np.asarray, eng.query(q))
@@ -527,10 +528,10 @@ def test_width_quantum1_odd_widths(codec, fold_tile):
     """Quantum-1 ladder: ODD widths fold with Ps=8-slice periods (every
     boundary chunk split by static sublane slices); fold_tile=8 exercises
     all 8 sub-tile buffers of the strided tile fold."""
-    coo = create_sparse_matrix(24000, 512, 21, "uniform", seed=101)
+    coo = create_sparse_matrix(6000, 512, 21, "uniform", seed=101)
     cfg = TopKSpMVConfig(k=50, max_cols=512, query_codec=codec,
-                         width_quantum=1, block_sublanes=128,
-                         fused_block_sublanes=160, fold_tile=fold_tile,
+                         width_quantum=1, block_sublanes=64,
+                         fused_block_sublanes=80, fold_tile=fold_tile,
                          rescore_pool=200 if codec == "h16" else 0)
     eng = TopKSpMV(coo, cfg)
     assert any(p.width % 2 == 1 for p in eng.fused.plan), \
