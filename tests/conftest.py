@@ -40,6 +40,27 @@ if not TPU_RUN:
 
     jax.config.update("jax_platforms", "cpu")
 
+    # Interpret-mode program size (and so XLA:CPU compile time, the
+    # suite's dominant cost) scales with chunks-per-block = geometry the
+    # production defaults size for a 16 GB HBM chip (512/1024 sublanes),
+    # 16x what a 2k-row interpret corpus needs. Tests that leave the
+    # geometry at its defaults get small blocks; any test that sets
+    # block_sublanes or fused_block_sublanes explicitly is untouched.
+    # (Measured: the rest-of-suite block dropped 1140 s -> see PROGRESS;
+    # the code paths are identical — one-vs-many blocks is exercised by
+    # the tests that pick their geometry.)
+    import spmv_topk_tpu.config as _cfg
+
+    _orig_post_init = _cfg.TopKSpMVConfig.__post_init__
+
+    def _test_post_init(self):
+        if self.block_sublanes == 512 and self.fused_block_sublanes == 1024:
+            object.__setattr__(self, "block_sublanes", 64)
+            object.__setattr__(self, "fused_block_sublanes", 128)
+        _orig_post_init(self)
+
+    _cfg.TopKSpMVConfig.__post_init__ = _test_post_init
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:

@@ -122,6 +122,7 @@ def test_h16_sharded():
     mesh = make_mesh(jax.devices()[:4])
     coo = create_sparse_matrix(2000, 512, 10, "gamma", seed=117)
     cfg = TopKSpMVConfig(k=25, max_cols=512, block_sublanes=64,
+                         fused_block_sublanes=64,
                          query_codec="h16", rescore_pool=125)
     eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
     q = create_sample_vector(512, seed=118)

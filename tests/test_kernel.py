@@ -24,7 +24,8 @@ def _precision(a, b):
 def test_kernel_vs_exact(dist, partitions):
     coo = create_sparse_matrix(1100, 512, 16, dist, seed=10)
     cfg = TopKSpMVConfig(k=50, lane_k=8, num_partitions=partitions,
-                         max_cols=512, block_sublanes=64)
+                         max_cols=512, block_sublanes=64,
+                         fused_block_sublanes=64)
     eng = TopKSpMV(coo, cfg)
     # Gold on the bf16-quantized matrix: the kernel computes exactly this,
     # so precision must be 1.0 (no LFR / stitching approximations survive
@@ -51,7 +52,8 @@ def test_kernel_matches_sell_oracle_bitwise():
     oracle reads an unpartitioned pack of the same matrix — per-row scores
     agree to f32 accumulation-order noise (< the 1e-5 tolerance)."""
     coo = create_sparse_matrix(700, 256, 12, "gamma", seed=11)
-    cfg = TopKSpMVConfig(k=30, num_partitions=2, max_cols=256, block_sublanes=32)
+    cfg = TopKSpMVConfig(k=30, num_partitions=2, max_cols=256,
+                         block_sublanes=32, fused_block_sublanes=64)
     eng = TopKSpMV(coo, cfg)
     import dataclasses
     oracle_eng = TopKSpMV(coo, dataclasses.replace(cfg, num_partitions=1))
@@ -71,7 +73,8 @@ def test_kernel_negative_scores_and_empty_rows():
     vals = rng.standard_normal(len(rows)).astype(np.float32)
     coo = CooMatrix(rows, cols, vals, 300, 256).sort_row_major()
     q = rng.standard_normal(256).astype(np.float32)
-    cfg = TopKSpMVConfig(k=290, num_partitions=1, max_cols=256, block_sublanes=32)
+    cfg = TopKSpMVConfig(k=290, num_partitions=1, max_cols=256,
+                         block_sublanes=32, fused_block_sublanes=64)
     eng = TopKSpMV(coo, cfg)
     ki, kv = map(np.asarray, eng.query(q, k=290))
     scores = sell_scores_np(eng.sell, q)
@@ -85,7 +88,7 @@ def test_kernel_lane_k_approximation_recall():
     should still be high, as modeled by topk_errors.py."""
     coo = create_sparse_matrix(4000, 256, 10, "uniform", seed=14)
     cfg = TopKSpMVConfig(k=100, lane_k=8, num_partitions=1, max_cols=256,
-                         block_sublanes=64)
+                         block_sublanes=64, fused_block_sublanes=64)
     eng = TopKSpMV(coo, cfg)
     q = create_sample_vector(256, seed=15)
     ki, _ = map(np.asarray, eng.query(q, k=100))
@@ -141,7 +144,8 @@ def test_segment_xla_baseline():
 
 def test_query_batch():
     coo = create_sparse_matrix(600, 256, 10, "uniform", seed=18)
-    cfg = TopKSpMVConfig(k=10, num_partitions=1, max_cols=256, block_sublanes=32)
+    cfg = TopKSpMVConfig(k=10, num_partitions=1, max_cols=256,
+                         block_sublanes=32, fused_block_sublanes=64)
     eng = TopKSpMV(coo, cfg)
     Q = np.stack([create_sample_vector(256, seed=200 + i) for i in range(3)])
     bi, bv = map(np.asarray, eng.query_batch(Q, k=10))

@@ -22,7 +22,7 @@ def test_sharded_bucketed_matches_exact(ndev, codec):
     mesh = make_mesh(jax.devices()[:ndev])
     coo = create_sparse_matrix(2200, 256, 12, "gamma", seed=70)
     cfg = TopKSpMVConfig(k=50, max_cols=256, block_sublanes=64,
-                         query_codec=codec)
+                         fused_block_sublanes=64, query_codec=codec)
     eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
     q = create_sample_vector(256, seed=71)
     ki, kv = map(np.asarray, eng.query(q))
@@ -37,7 +37,8 @@ def test_sharded_bucketed_equals_single_device():
     from spmv_topk_tpu.api import TopKSpMV
     mesh = make_mesh(jax.devices()[:4])
     coo = create_sparse_matrix(2000, 256, 10, "uniform", seed=72)
-    cfg = TopKSpMVConfig(k=30, max_cols=256, block_sublanes=64)
+    cfg = TopKSpMVConfig(k=30, max_cols=256, block_sublanes=64,
+                         fused_block_sublanes=64)
     sharded = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
     single = TopKSpMV(coo, cfg)
     q = create_sample_vector(256, seed=73)
@@ -52,7 +53,8 @@ def test_sharded_bucketed_query_batch():
 
     mesh = make_mesh(jax.devices()[:4])
     coo = create_sparse_matrix(3000, 256, 10, "gamma", seed=74)
-    cfg = TopKSpMVConfig(k=25, max_cols=256, block_sublanes=64)
+    cfg = TopKSpMVConfig(k=25, max_cols=256, block_sublanes=64,
+                         fused_block_sublanes=64)
     eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
     Q = create_query_batch(5, 256, seed=75)
     bi, bv = map(np.asarray, eng.query_batch(Q, group_size=4))
@@ -68,6 +70,7 @@ def test_sharded_rescore_i4s():
     mesh = make_mesh(jax.devices()[:4])
     coo = create_sparse_matrix(2600, 512, 12, "gamma", seed=77)
     cfg = TopKSpMVConfig(k=40, max_cols=512, block_sublanes=64,
+                         fused_block_sublanes=64,
                          query_codec="i4s", rescore_pool=160)
     eng = ShardedBucketedTopKSpMV(coo, cfg, mesh=mesh)
     q = create_sample_vector(512, seed=78)
