@@ -69,6 +69,18 @@ def test_fused_h16_rescore_exact(chip, small):
     np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=1e-5)
 
 
+def test_fused_octet_headline(chip, small):
+    """The bench.py headline engine on hardware: octet transposed stream
+    at width_quantum=1, h16 codec, strided fold, exact rescore."""
+    coo, q, gi, gv = small
+    eng = TopKSpMV(coo, TopKSpMVConfig(
+        k=100, query_codec="h16", fused_layout="octet", width_quantum=1,
+        fold_tile=8, rescore_pool=400))
+    ki, kv = map(np.asarray, eng.query(q))
+    assert _precision(gi, ki) == 1.0
+    np.testing.assert_allclose(np.sort(kv), np.sort(gv), atol=1e-5)
+
+
 def test_fused_i4s_codec(chip, small):
     coo, q, gi, _ = small
     eng = TopKSpMV(coo, TopKSpMVConfig(k=100, query_codec="i4s",
