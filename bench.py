@@ -8,10 +8,11 @@ headline (plot_roofline.py:201-209; best published number: 76.9 GNNZ/s
 at 20-bit on 32 cores @ 225 MHz).
 
 Headline config (autotune's pick for this corpus, docs/TUNING.md):
-octet (slice-transposed) fused layout at width_quantum=1 — the kernel
+octet (slice-transposed) fused layout at width_quantum=2 — the kernel
 body is pure `acc += decode(chunk)` with no sublane folds or boundary
-splits, and quantum-1 widths stream at floor padding — with the h16
-codec (TWO nnz per 32-bit word) and exact host rescoring of the top-400
+splits; quantum-2 is the measured sweet spot of the padding-vs-
+bucket-branch-count tradeoff (octet_block_lab.py) — with the h16 codec
+(TWO nnz per 32-bit word) and exact host rescoring of the top-400
 pool. The reference likewise headlines its best shipped build (20-bit
 B=15, plot_roofline.py:362-364).
 
@@ -59,9 +60,12 @@ NUM_ROWS = int(os.environ.get("SPMV_BENCH_ROWS", 10_000_000))
 NUM_COLS = int(os.environ.get("SPMV_BENCH_COLS", 1024))
 AVG_DEG = 20
 K = 100
-# octet layout admits width_quantum=1 at zero kernel cost (whole-chunk
-# streaming for ANY width) — floor padding. SPMV_BENCH_LAYOUT=slice
-# reproduces the round-3 slice-layout headline for A/B.
+# octet streams whole chunks at ANY width, so its quantum only moves the
+# padding-vs-branch-count tradeoff: q2 (15 buckets, 0.576 words/nnz) beat
+# q1 (28 buckets, 0.559) by ~2.5% and q4/q8 lose to padding —
+# experiments/octet_block_lab.py ladder on this corpus. 2048+-sublane DMA
+# blocks collapse the pipeline (11 Gnnz/s) — keep 1024.
+# SPMV_BENCH_LAYOUT=slice reproduces the round-3 slice headline for A/B.
 LAYOUT = os.environ.get("SPMV_BENCH_LAYOUT", "octet")
 CACHE_DIR = os.environ.get("SPMV_BENCH_CACHE",
                            os.path.join(os.path.dirname(
@@ -121,7 +125,7 @@ def main():
     cfg = TopKSpMVConfig(k=K, lane_k=8, num_partitions=1, max_cols=NUM_COLS,
                          query_codec="h16",
                          fused_layout=LAYOUT,
-                         width_quantum=1 if LAYOUT == "octet" else 2,
+                         width_quantum=2,
                          fused_block_sublanes=1024, fold_tile=8,
                          rescore_pool=400)
     eng, pack_s, eng_cached = _engine(coo, cfg)

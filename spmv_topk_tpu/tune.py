@@ -36,15 +36,17 @@ def _candidates(k: int, max_cols: int, pool: int, expected_batch: int = 1):
     (docs/TUNING.md §3: h16 159-181 > i4s 105-139 > i8s/f32 84-96).
 
     Layout depends on the workload: single-query headlines the octet
-    transposed stream at quantum-1 (lowest padding, 8x faster compiles,
-    parity speed — bench.py); batch serving (expected_batch >= 16) keeps
+    transposed stream at quantum-2 (the measured sweet spot of padding
+    vs bucket-branch count, experiments/octet_block_lab.py; +2.5% over
+    quantum-1, 8x faster compiles than slice); batch serving
+    (expected_batch >= 16) keeps
     the slice layout, whose multi-query kernel measured 2x the octet
     batch kernel's rate (237 vs 118 Gnnz/s/query at group 32 on the 10M
     corpus — the octet fori-over-octets body defeats Mosaic)."""
     h16_layout = (dict(fused_layout="slice", width_quantum=2)
                   if expected_batch >= 16
-                  else dict(fused_layout="octet", width_quantum=1))
-    alt_layout = (dict(fused_layout="octet", width_quantum=1)
+                  else dict(fused_layout="octet", width_quantum=2))
+    alt_layout = (dict(fused_layout="octet", width_quantum=2)
                   if expected_batch >= 16
                   else dict(fused_layout="slice", width_quantum=2))
     cands = []

@@ -37,13 +37,14 @@ def test_autotune_picks_h16_with_rescore():
 
 def test_autotune_headlines_octet():
     """The winning config is the bench.py headline: octet transposed
-    layout at width_quantum=1 with the strided fold (VERDICT r4 #4)."""
+    layout at width_quantum=2 (the padding-vs-branch-count sweet spot)
+    with the strided fold (VERDICT r4 #4)."""
     coo = create_sparse_matrix(3000, 512, 10, "gamma", seed=35)
     cfg, report = autotune(coo, k=50, target_precision=0.98,
                            measure=False, num_queries=2, base=SMALL,
                            codecs=("h16",))
     assert cfg.fused_layout == "octet"
-    assert cfg.width_quantum == 1
+    assert cfg.width_quantum == 2
     assert cfg.fold_tile == 8
     assert all(r.get("fused_layout") for r in report if "codec" in r)
 
@@ -57,7 +58,7 @@ def test_autotune_batch_workloads_prefer_slice_layout():
     single = _candidates(50, 512, 200, expected_batch=1)
     batch = _candidates(50, 512, 200, expected_batch=32)
     assert single[0]["fused_layout"] == "octet"
-    assert single[0]["width_quantum"] == 1
+    assert single[0]["width_quantum"] == 2
     assert batch[0]["fused_layout"] == "slice"
     assert batch[0]["width_quantum"] == 2
 
