@@ -42,10 +42,12 @@ from typing import Optional
 
 MEASURED = {
     # per-core Gnnz/s (mid of the reproducible range) and words/nnz incl.
-    # padding on the 10M-row gamma deg-20 corpus (quantum-2 ladder).
-    "h16": dict(gnnz_core=167.0, gnnz_range=(158.0, 181.0),
-                words_per_nnz=0.551,
-                batch_gnnz_core={1: 167.0, 16: 201.0, 32: 237.0, 64: 258.0}),
+    # padding on the 10M-row gamma deg-20 corpus. Single-query = the
+    # octet-q2 headline (BENCH r5: 172.1); batch = the slice-q2 engine
+    # (the measured batch layout, ROOFLINE.md §"octet layout").
+    "h16": dict(gnnz_core=172.0, gnnz_range=(158.0, 181.0),
+                words_per_nnz=0.576,
+                batch_gnnz_core={1: 172.0, 16: 201.0, 32: 238.0, 64: 258.0}),
     "i4s": dict(gnnz_core=127.0, gnnz_range=(117.0, 139.0),
                 words_per_nnz=1.157,
                 batch_gnnz_core={1: 127.0}),
