@@ -132,6 +132,15 @@ class TopKSpMVConfig:
     #     chunks (pair with width_quantum=1 for floor padding). The
     #     harvest is intrinsically a strided top-2-of-8 fold (fold_tile=8
     #     semantics); fold_tile=1 selects exact per-member folds.
+    octet_multicall: bool = True    # octet single-query dispatch: one
+    #   pallas_call PER bucket (single static width, zero bucket range
+    #   predicates, block ranges via index_map offsets) + one per-lane
+    #   top-K merge of the stacked candidates. Measured +2.5% over the
+    #   single fused call on the 10M headline corpus (177.8 vs 173.5
+    #   Gnnz/s — experiments/octet_multicall_lab.py): the per-grid-step
+    #   predicate chain costs more than B pipeline-ramp restarts. False
+    #   keeps the one-call kernel (always used when num_partitions > 1:
+    #   the partitioned grid carries the partition axis in one call).
     fold_tile: int = 1              # slices buffered per Top-K fold in the
     #   fused kernel. 1 = exact per-slice argmin replacement. 2/4/8 buffer
     #   that many consecutive slice scores in VMEM scratch and fold ONE

@@ -30,6 +30,7 @@ double-buffering (the II=1 HBM burst pipeline).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 
@@ -976,7 +977,23 @@ def topk_spmv_fused_octet_device(
     slice-transposed stream of fuse_buckets_octet and `plan` is a tuple
     of OctetBucket. The carry scratch is a full (chunk_sublanes, 128)
     partial-score tile (wide octets span blocks whole, not per-slice).
+
+    Dispatch (cfg.octet_multicall, default True): ONE pallas_call per
+    bucket — each call has a single static width and ZERO bucket range
+    predicates, its block range addressed by an index_map offset — then
+    one per-lane top-K merge over the stacked per-bucket candidates.
+    Removing the per-grid-step `pl.when` predicate chain (15 predicates
+    at quantum-2) measured +2.5% on the 10M headline corpus (177.8 vs
+    173.5 Gnnz/s, interleaved slopes — experiments/octet_multicall_lab)
+    and compiles faster; the B pipeline-ramp restarts cost less than the
+    predicates. cfg.octet_multicall=False keeps the single fused call
+    (the only option for the partitioned grid, which needs one call per
+    partition axis anyway — see topk_spmv_fused_octet_part_device).
     """
+    if cfg.octet_multicall and len(plan) > 1:
+        return _octet_multicall(words, table, nreal, cfg=cfg, plan=plan,
+                                block_sublanes=block_sublanes,
+                                interpret=interpret, codec=codec)
     K = cfg.lane_k
     S = cfg.chunk_sublanes
     kernel = functools.partial(
@@ -1011,6 +1028,68 @@ def topk_spmv_fused_octet_device(
         ],
         interpret=interpret,
     )(nreal, table, words)
+
+
+def _octet_multicall(words, table, nreal, *, cfg: TopKSpMVConfig,
+                     plan: tuple, block_sublanes: int,
+                     interpret: bool = False, codec: str = "f32"):
+    """Per-bucket pallas_calls over the octet stream + candidate merge.
+
+    Each bucket's call reuses _fused_kernel_octet with a one-entry plan
+    rebased to blk_start=0; the words BlockSpec offsets grid step i to
+    global block (bucket.blk_start + i), so the stream bytes move exactly
+    once, same as the fused call. Candidate (value, tag) pairs merge with
+    one lax.top_k per lane — B*lane_k values, trivially cheap next to the
+    sweep. Tie caveat: the non-tie-safe _topk_update drops score-tied
+    candidates order-dependently, so the bottom buffer slots can differ
+    from the fused call at exact score ties (both variants drop ties;
+    the rescore pool absorbs it — config.tie_safe_topk forces exactness).
+    """
+    K = cfg.lane_k
+    S = cfg.chunk_sublanes
+    tvs, tts = [], []
+    for bidx, pb in enumerate(plan):
+        pb0 = dataclasses.replace(pb, blk_start=0)
+        kernel = functools.partial(
+            _fused_kernel_octet, cfg=cfg, plan=(pb0,),
+            block_sublanes=block_sublanes, codec=codec,
+            mask_lanes=interpret)
+        tv, tt = pl.pallas_call(
+            kernel,
+            grid=(pb.num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_sublanes, LANES),
+                             lambda i, s=pb.blk_start: (s + i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((K, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((K, LANES), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((K, LANES), jnp.float32),
+                pltpu.VMEM((K, LANES), jnp.int32),
+                pltpu.VMEM((S, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(nreal[bidx:bidx + 1], table, words)
+        tvs.append(tv)
+        tts.append(tt)
+    allv = jnp.concatenate(tvs, axis=0)        # (B * K, 128)
+    allt = jnp.concatenate(tts, axis=0)
+    mv, mi = jax.lax.top_k(allv.T, K)          # (128, K)
+    mt = jnp.take_along_axis(allt.T, mi, axis=1)
+    return mv.T, mt.T
 
 
 @functools.partial(

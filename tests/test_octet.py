@@ -237,3 +237,27 @@ def test_octet_config_rejects_unsorted_partitions():
                            sigma_sort=False, block_sublanes=32,
                            fused_block_sublanes=32),
             mesh=make_mesh(jax.devices()[:2]))
+
+
+def test_octet_multicall_matches_onecall():
+    """The per-bucket multicall dispatch (config.octet_multicall, the
+    shipped default — ops/kernel._octet_multicall) returns the same
+    top-k as the one-call fused kernel, modulo bottom-slot score ties
+    (the non-tie-safe buffers drop tied candidates order-dependently in
+    both variants; on this continuous-score corpus there are none)."""
+    import dataclasses
+
+    coo = create_sparse_matrix(1400, 256, 9, "gamma", seed=230)
+    base = TopKSpMVConfig(k=25, max_cols=256, width_quantum=2,
+                          block_sublanes=32, fused_block_sublanes=32,
+                          fused_layout="octet", fold_tile=1)
+    eng = TopKSpMV(coo, dataclasses.replace(base, octet_multicall=True))
+    assert len(eng.fused.plan) > 1  # multicall must actually fan out
+    q = create_sample_vector(256, seed=231)
+    mi, mv = map(np.asarray, eng.query(q))
+    eng.config = dataclasses.replace(base, octet_multicall=False)
+    oi, ov = map(np.asarray, eng.query(q))
+    np.testing.assert_array_equal(np.sort(mi), np.sort(oi))
+    np.testing.assert_allclose(np.sort(mv), np.sort(ov), atol=1e-5)
+    gi, _ = topk_exact(coo, q, 25)
+    assert _precision(gi, mi) >= 0.95
